@@ -1,0 +1,152 @@
+"""Deterministic synthetic `sequences` tables (FIXTURES.md §1).
+
+Mirrors the reference's fixture triple (clean baseline / drifted current /
+too-small invalid) from ``/root/reference/create_test.ipynb`` cell 0 and its
+``random_state=42`` convention (``outliers.py:257``, ``missing_values.py:221``),
+generalized to the target tokenized-sequence shape. Generation is vectorized
+numpy writing parquet via pyarrow — one file per `part_id` so a Spark read
+sees one input split per logical partition.
+
+Variants
+--------
+ref          clean reference snapshot: unique doc_id, size(tokens)==n_tok,
+             source in ALLOWED_SOURCES, stationary n_tok distribution.
+cur_clean    fresh sample from the same distributions (all checks pass).
+cur_drifted  per-partition injected violations (assertable per partition):
+             p2: 10% null doc_id          p3: duplicated doc_id groups
+             p4: novel source "forum"     p5: 1% size(tokens)!=n_tok and
+                                              1% single-token corruption
+             p6,p7: n_tok mean x1.5 (PSI > 0.25, significant KS)
+invalid      3 rows (fails MIN_ROWS=10, settings.py:58).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import ALLOWED_SOURCES, TOKEN_VOCAB_SIZE
+
+SOURCE_PROBS = np.array([0.70, 0.10, 0.08, 0.07, 0.05])  # skewed: 70% "web"
+SOURCE_NTOK_MEAN = {  # per-source log-normal location
+    "web": 4.6,
+    "books": 5.5,
+    "code": 5.0,
+    "wiki": 4.9,
+    "news": 4.4,
+}
+MAX_NTOK = 2048
+
+ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+        pa.field("part_id", pa.int32()),
+    ]
+)
+
+
+def _partition_batch(
+    variant: str, part_id: int, rows: int, seed: int, id_offset: int
+) -> pa.Table:
+    rng = np.random.default_rng(np.random.SeedSequence([seed, part_id, 42]))
+
+    src_idx = rng.choice(len(ALLOWED_SOURCES), size=rows, p=SOURCE_PROBS)
+    sources = np.array(ALLOWED_SOURCES, dtype=object)[src_idx]
+
+    mu = np.array([SOURCE_NTOK_MEAN[s] for s in ALLOWED_SOURCES])[src_idx]
+    if variant == "cur_drifted" and part_id in (6, 7):
+        mu = mu + np.log(1.5)  # shifted n_tok distribution → PSI/KS drift
+    n_tok = np.clip(rng.lognormal(mu, 0.6).astype(np.int64), 1, MAX_NTOK)
+
+    ids = np.char.add(
+        "doc_", np.char.zfill((np.arange(rows) + id_offset).astype(str), 10)
+    ).astype(object)
+
+    if variant == "cur_drifted":
+        if part_id == 2:  # 10% null doc_id
+            ids[rng.random(rows) < 0.10] = None
+        if part_id == 3:  # duplicate doc_id groups (~5% rows are repeats)
+            n_dup = max(2, rows // 20)
+            dup_to = rng.integers(0, rows, size=n_dup)
+            dup_from = rng.integers(0, rows, size=n_dup)
+            ids[dup_to] = ids[dup_from]
+        if part_id == 4:  # novel source value → referential violations
+            sources[rng.random(rows) < 0.08] = "forum"
+
+    # tokens: one flat draw + offsets → arrow ListArray (no Python loop)
+    offsets = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(n_tok, out=offsets[1:])
+    flat = rng.integers(
+        0, TOKEN_VOCAB_SIZE, size=int(offsets[-1]), dtype=np.int32
+    )
+
+    declared = n_tok.astype(np.int32).copy()
+    if variant == "cur_drifted" and part_id == 5:
+        # 1%: declared length lies about the array → length-consistency hits
+        bad_len = rng.random(rows) < 0.01
+        declared[bad_len] += 1
+        # separate 1%: flip one token element → per-row equality invariant hits
+        bad_tok = (rng.random(rows) < 0.01) & ~bad_len
+        for i in np.nonzero(bad_tok)[0]:
+            j = int(offsets[i]) + int(rng.integers(0, n_tok[i]))
+            flat[j] = (flat[j] + 1) % TOKEN_VOCAB_SIZE
+
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int32())
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, type=pa.string()),
+            tokens,
+            pa.array(declared, type=pa.int32()),
+            pa.array(sources, type=pa.string()),
+            pa.array(np.full(rows, part_id, dtype=np.int32)),
+        ],
+        schema=ARROW_SCHEMA,
+    )
+
+
+def generate_sequences(
+    out_dir: str,
+    variant: str = "ref",
+    rows: int = 10_000,
+    num_partitions: int = 8,
+    seed: int = 42,
+) -> str:
+    """Write a deterministic sequences table to ``out_dir`` (one parquet file
+    per part_id). Returns ``out_dir``. Same (variant, rows, partitions, seed)
+    → byte-identical logical content.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if variant == "invalid":
+        tbl = _partition_batch("ref", 0, 3, seed + 1, 0)
+        pq.write_table(tbl, os.path.join(out_dir, "part-0.parquet"))
+        return out_dir
+
+    # distinct seeds per variant so cur_clean is a *fresh* draw, and a
+    # disjoint doc_id range per partition (uniqueness holds unless injected)
+    vseed = {"ref": seed, "cur_clean": seed + 1000, "cur_drifted": seed + 1000}[
+        variant
+    ]
+    per = rows // num_partitions
+    for p in range(num_partitions):
+        n = per + (rows % num_partitions if p == num_partitions - 1 else 0)
+        tbl = _partition_batch(variant, p, n, vseed, id_offset=p * per)
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{p}.parquet"))
+    return out_dir
+
+
+def generate_allowed_sources(out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(ALLOWED_SOURCES), type=pa.string())], names=["source"]
+    )
+    path = os.path.join(out_dir, "allowed_sources.parquet")
+    pq.write_table(tbl, path)
+    return path

@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The reference has no session concept (eager pandas in one uvicorn worker,
+``backend/app/utils/file_handler.py:102-134``). Here a session is the unit of
+execution; the factory encodes the scale-oriented defaults the engine relies
+on: AQE (runtime coalescing + skew-join handling), Arrow for the pandas-UDF
+boundary, and an explicit shuffle-partition count sized to the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-drift-monitoring-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox; on a
+    real cluster it is left unset so ``spark-submit`` controls deployment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # one shuffle partition per core locally; a real cluster would size
+        # this to 2-3x total executor cores or rely on AQE coalescing.
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
