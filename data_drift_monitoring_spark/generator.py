@@ -17,6 +17,9 @@ cur_drifted  per-partition injected violations (assertable per partition):
              p4: novel source "forum"     p5: 1% size(tokens)!=n_tok and
                                               1% single-token corruption
              p6,p7: n_tok mean x1.5 (PSI > 0.25, significant KS)
+ref_corrupted  byte-wise copy of `ref` except p5's corruptions (1% declared
+             n_tok off-by-one, 1% single flipped token element) — the
+             fixture for the per-row token-array-equality invariant.
 invalid      3 rows (fails MIN_ROWS=10, settings.py:58).
 """
 
@@ -78,7 +81,6 @@ def _partition_batch(
             ids[dup_to] = ids[dup_from]
         if part_id == 4:  # novel source value → referential violations
             sources[rng.random(rows) < 0.08] = "forum"
-
     # tokens: one flat draw + offsets → arrow ListArray (no Python loop)
     offsets = np.zeros(rows + 1, dtype=np.int64)
     np.cumsum(n_tok, out=offsets[1:])
@@ -87,7 +89,7 @@ def _partition_batch(
     )
 
     declared = n_tok.astype(np.int32).copy()
-    if variant == "cur_drifted" and part_id == 5:
+    if variant in ("cur_drifted", "ref_corrupted") and part_id == 5:
         # 1%: declared length lies about the array → length-consistency hits
         bad_len = rng.random(rows) < 0.01
         declared[bad_len] += 1
@@ -131,9 +133,12 @@ def generate_sequences(
 
     # distinct seeds per variant so cur_clean is a *fresh* draw, and a
     # disjoint doc_id range per partition (uniqueness holds unless injected)
-    vseed = {"ref": seed, "cur_clean": seed + 1000, "cur_drifted": seed + 1000}[
-        variant
-    ]
+    vseed = {
+        "ref": seed,
+        "ref_corrupted": seed,  # identical draw → corruption is the only diff
+        "cur_clean": seed + 1000,
+        "cur_drifted": seed + 1000,
+    }[variant]
     per = rows // num_partitions
     for p in range(num_partitions):
         n = per + (rows % num_partitions if p == num_partitions - 1 else 0)

@@ -164,10 +164,15 @@ def outlier_violations(
 
 
 def clip_outliers(df: DataFrame, column: str, lo: float, hi: float) -> DataFrame:
-    """Winsorize (outliers.py:376-396): greatest/least clamp, pure codegen."""
+    """Winsorize (outliers.py:376-396): greatest/least clamp, pure codegen.
+    Nulls pass through unchanged (Spark's greatest/least SKIP nulls — unlike
+    pandas clip which preserves NaN — so the null case is explicit)."""
     v = F.col(column)
     return df.withColumn(
-        column, F.greatest(F.lit(lo), F.least(F.lit(hi), v))
+        column,
+        F.when(v.isNull(), v).otherwise(
+            F.greatest(F.lit(lo), F.least(F.lit(hi), v))
+        ),
     )
 
 

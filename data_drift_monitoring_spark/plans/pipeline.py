@@ -1,0 +1,349 @@
+"""run_checks — the end-to-end validation + drift pipeline.
+
+Distributed equivalent of ``POST /check_quality``
+(``quality_check.py:25-191``), which runs missing → duplicates → outliers →
+score sequentially over one in-memory DataFrame. Here (SURVEY.md §3.2):
+
+    scan (partition-pruned by the resume manifest)
+    → ONE wide groupBy(part_id) agg (stats + length-consistency + sketches)
+    → uniqueness agg on doc_id (second shuffle, key-hash partitioned)
+    → broadcast left-anti referential check (no shuffle)
+    → per-partition histograms → drift vs broadcast reference histograms
+    → optional per-row token-equality invariant vs the reference snapshot
+    → verdict rows (severity when-chains) + violation rows + quality score
+    → write: results table, violations table, manifest rows (lineage)
+
+Verdict row shape: (run_id, part_id, check, column, value, pct, severity,
+recommendation, passed) — the per-partition generalization of the
+reference's report JSON (one nested dict per dataset → one row per
+partition × check). A JSON rollup equivalent to the reference's report
+document is derivable with ``F.to_json(F.struct(...))`` (report_json).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions import verdicts as V
+from ..functions.scoring import overall_score
+from ..functions.verdicts import grade
+from ..operators.drift import drift_stats, numeric_drift, with_drift_pvalues
+from ..operators.histogram import categorical_counts, value_histogram
+from ..operators.invariants import token_equality_stats
+from ..operators.referential import referential_stats
+from ..operators.stats import sequence_stats
+from ..operators.uniqueness import duplicate_stats
+from ..schema import SEQUENCES_SCHEMA, validate_schema
+from ..sources import manifest as M
+from ..sources.tables import ParquetTableIO
+
+RESULTS_TABLE = "check_results"
+VIOLATIONS_TABLE = "violations"
+
+_VERDICT_COLS = [
+    "part_id",
+    "check",
+    "column",
+    "value",
+    "pct",
+    "severity",
+    "recommendation",
+    "passed",
+]
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    verdicts: DataFrame
+    score: DataFrame
+    pruned_partitions: list[int] = field(default_factory=list)
+
+
+def _verdict(df: DataFrame, check: str, column: str, value, pct, severity,
+             recommendation, passed) -> DataFrame:
+    return df.select(
+        F.col("part_id"),
+        F.lit(check).alias("check"),
+        F.lit(column).alias("column"),
+        value.cast("double").alias("value"),
+        pct.cast("double").alias("pct"),
+        severity.alias("severity"),
+        recommendation.alias("recommendation"),
+        passed.alias("passed"),
+    )
+
+
+def build_verdicts(
+    df: DataFrame,
+    ref_stats: DataFrame | None = None,
+    allowed_sources: DataFrame | None = None,
+    ref_sequences: DataFrame | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Assemble all per-partition verdict rows (no writes, lazy)."""
+    t = config.thresholds
+    seq = sequence_stats(df, config=config).cache()
+
+    pieces: list[DataFrame] = []
+
+    # 1. missing values on every column of the contract (A1; severity chain
+    #    missing_values.py:63-69)
+    for col in ("doc_id", "tokens", "source"):
+        pct = F.round(F.col(f"null_{col}") / F.col("n_rows") * 100, 2)
+        pieces.append(
+            _verdict(
+                seq, "missing_values", col,
+                F.col(f"null_{col}"), pct,
+                V.missing_severity(pct),
+                F.when(pct >= t.missing_error_pct, "drop_column")
+                .when(pct > 0, "impute_mode" if col != "tokens" else "investigate")
+                .otherwise("no_action"),
+                pct == 0,
+            )
+        )
+
+    # 2. token-array length consistency (A20 — the contract invariant)
+    lm_pct = F.round(F.col("len_mismatch") / F.col("n_rows") * 100, 2)
+    pieces.append(
+        _verdict(
+            seq, "length_consistency", "tokens",
+            F.col("len_mismatch"), lm_pct,
+            F.when(F.col("len_mismatch") == 0, "none").when(
+                lm_pct < 1, "medium"
+            ).otherwise("high"),
+            F.when(F.col("len_mismatch") == 0, "no_action").otherwise(
+                "repair_n_tok"
+            ),
+            F.col("len_mismatch") == 0,
+        )
+    )
+
+    # 3. uniqueness on doc_id (A14; hash-partitioned distinct counts)
+    dup = duplicate_stats(df, keys=["doc_id"], ignore_null_keys=True)
+    pieces.append(
+        _verdict(
+            dup, "uniqueness", "doc_id",
+            F.col("duplicate_rows"), F.col("duplicate_pct"),
+            V.duplicate_severity(F.col("duplicate_pct")),
+            V.duplicate_recommendation(F.col("duplicate_pct")),
+            F.col("duplicate_rows") == 0,
+        )
+    )
+
+    # 4. referential: source ∈ allowed dimension (J3, broadcast anti)
+    if allowed_sources is not None:
+        refc = referential_stats(df, allowed_sources, "source")
+        pieces.append(
+            _verdict(
+                refc, "referential", "source",
+                F.col("violations"), F.col("violation_pct"),
+                F.when(F.col("violations") == 0, "none")
+                .when(F.col("violation_pct") < 1, "low")
+                .when(F.col("violation_pct") < 5, "medium")
+                .otherwise("high"),
+                F.when(F.col("violations") == 0, "no_action").otherwise(
+                    "quarantine_unknown_sources"
+                ),
+                F.col("violations") == 0,
+            )
+        )
+
+    # 5. drift vs reference snapshot (PSI/KS/JS/chi² from histograms)
+    if ref_stats is not None:
+        ref_ntok = ref_stats.filter(F.col("col") == "n_tok")
+        ref_src = ref_stats.filter(F.col("col") == "source")
+        nd = numeric_drift(
+            value_histogram(df, "n_tok"), ref_ntok, "n_tok", config=config
+        )
+        cd = drift_stats(
+            categorical_counts(df, "source", config=config), ref_src,
+            config=config,
+        )
+        drift = with_drift_pvalues(
+            nd.unionByName(cd.select(nd.columns)), config
+        )
+        pieces.append(
+            drift.select(
+                F.col("part_id"),
+                F.lit("drift_psi").alias("check"),
+                F.col("col").alias("column"),
+                F.col("psi").cast("double").alias("value"),
+                F.lit(None).cast("double").alias("pct"),
+                F.col("psi_drift").alias("severity"),
+                F.when(F.col("psi") < t.psi_moderate, "no_action")
+                .when(F.col("psi") < t.psi_large, "monitor_drift")
+                .otherwise("retrain_or_investigate")
+                .alias("recommendation"),
+                (F.col("psi") < t.psi_moderate).alias("passed"),
+            )
+        )
+        pieces.append(
+            drift.select(
+                F.col("part_id"),
+                F.lit("drift_ks").alias("check"),
+                F.col("col").alias("column"),
+                F.col("ks_stat").cast("double").alias("value"),
+                F.col("ks_pvalue").cast("double").alias("pct"),
+                F.when(F.col("ks_significant"), "high").otherwise("none").alias(
+                    "severity"
+                ),
+                F.when(F.col("ks_significant"), "investigate_distribution_shift")
+                .otherwise("no_action")
+                .alias("recommendation"),
+                (~F.col("ks_significant")).alias("passed"),
+            )
+        )
+
+    # 6. per-row token equality (input_hint invariant; digest fast path)
+    if ref_sequences is not None:
+        te = token_equality_stats(df, ref_sequences)
+        te_pct = F.round(F.col("token_mismatch") / F.col("n_rows") * 100, 2)
+        pieces.append(
+            _verdict(
+                te, "token_equality", "tokens",
+                F.col("token_mismatch"), te_pct,
+                F.when(F.col("token_mismatch") == 0, "none").otherwise("high"),
+                F.when(F.col("token_mismatch") == 0, "no_action").otherwise(
+                    "recompute_tokens"
+                ),
+                F.col("token_mismatch") == 0,
+            )
+        )
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def score_partitions(
+    verdicts: DataFrame, config: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Per-partition weighted quality score + grade (quality_scorer.py:46-122
+    generalized: dataset → partition). Components: missing = worst null pct,
+    duplicate = doc_id dup pct, outlier(slot) = contract-violation pct
+    (length mismatches + referential + token mismatches)."""
+    p = verdicts.groupBy("part_id").pivot(
+        "check",
+        [
+            "missing_values",
+            "uniqueness",
+            "referential",
+            "length_consistency",
+            "token_equality",
+        ],
+    ).agg(F.max("pct"))
+    z = F.lit(0.0)
+    missing = F.coalesce(F.col("missing_values"), z)
+    dup = F.coalesce(F.col("uniqueness"), z)
+    contract = F.least(
+        F.lit(100.0),
+        F.coalesce(F.col("referential"), z)
+        + F.coalesce(F.col("length_consistency"), z)
+        + F.coalesce(F.col("token_equality"), z),
+    )
+    sc = overall_score(missing, dup, contract, None, config.thresholds)
+    return p.select(
+        "part_id",
+        F.round(missing, 2).alias("missing_pct"),
+        F.round(dup, 2).alias("duplicate_pct"),
+        F.round(contract, 2).alias("violation_pct"),
+        sc.alias("overall_score"),
+        grade(sc).alias("grade"),
+    )
+
+
+def report_json(verdicts: DataFrame, run_id: str) -> DataFrame:
+    """Reference-shaped JSON rollup (S6, quality_check.py:171-174): one JSON
+    document per partition."""
+    per_check = verdicts.groupBy("part_id").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(":", "check", "column"),
+                        F.struct("value", "pct", "severity", "recommendation", "passed"),
+                    )
+                )
+            )
+        ).alias("checks_json"),
+    )
+    return per_check.select(
+        F.lit(run_id).alias("run_id"), "part_id", "checks_json"
+    )
+
+
+def run_checks(
+    spark: SparkSession,
+    df: DataFrame,
+    io: ParquetTableIO | None = None,
+    run_id: str = "run_0",
+    ref_stats: DataFrame | None = None,
+    allowed_sources: DataFrame | None = None,
+    ref_sequences: DataFrame | None = None,
+    snapshot_id: str | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+    min_rows: int | None = None,
+    now: datetime | None = None,
+) -> RunResult:
+    """Full pipeline with schema gate, resume pruning, and persistence.
+
+    Raises ValueError on hard validation failures (min rows/cols — the
+    reference's 422 path, file_handler.py:163-186)."""
+    sv = validate_schema(df.schema, SEQUENCES_SCHEMA)
+    if not sv.is_valid:
+        raise ValueError(f"schema validation failed: {sv.errors}")
+    t = config.thresholds
+    n = df.limit((min_rows or t.min_rows)).count()
+    if n < (min_rows or t.min_rows):
+        raise ValueError(
+            f"dataset has {n} rows; minimum is {min_rows or t.min_rows} "
+            "(reference MIN_ROWS gate, config/settings.py:58)"
+        )
+
+    pruned: list[int] = []
+    started = (now or datetime.now(timezone.utc)).isoformat()
+    if io is not None:
+        df, pruned = M.prune_completed(df, io, run_id, config.partition_col)
+        todo = [
+            r["part_id"]
+            for r in df.select(config.partition_col).distinct().collect()
+        ]
+        if not todo:  # fully resumed: nothing to recompute
+            verdicts = io.read_appended(RESULTS_TABLE).filter(
+                F.col("run_id") == run_id
+            )
+            score = io.read_appended(RESULTS_TABLE + "_score").filter(
+                F.col("run_id") == run_id
+            )
+            return RunResult(run_id, verdicts, score, pruned)
+        M.record_partitions(
+            spark, io, run_id, todo, "started", snapshot_id, now=now
+        )
+
+    verdicts = build_verdicts(
+        df, ref_stats, allowed_sources, ref_sequences, config
+    ).withColumn("run_id", F.lit(run_id))
+    score = score_partitions(verdicts.drop("run_id"), config).withColumn(
+        "run_id", F.lit(run_id)
+    )
+
+    if io is not None:
+        io.append(verdicts, RESULTS_TABLE)
+        io.append(score, RESULTS_TABLE + "_score")
+        digests = M.stats_digests(
+            io.read_appended(RESULTS_TABLE).filter(F.col("run_id") == run_id)
+        )
+        M.record_partitions(
+            spark, io, run_id, sorted(digests), "done", snapshot_id,
+            digests=digests, started_at=started, now=now,
+        )
+        verdicts = io.read_appended(RESULTS_TABLE).filter(
+            F.col("run_id") == run_id
+        )
+    return RunResult(run_id, verdicts, score, pruned)

@@ -1,0 +1,132 @@
+"""Drift statistics: closed-form expectations on hand-built histograms
+(FIXTURES.md §5) + behavior on the drifted fixture + p-value functions
+against published table values."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_drift_monitoring_spark.functions.pvalues import (
+    chi2_sf,
+    kolmogorov_sf,
+    ks_2samp_pvalue,
+)
+from data_drift_monitoring_spark.operators.drift import (
+    drift_stats,
+    numeric_drift,
+    with_drift_pvalues,
+)
+from data_drift_monitoring_spark.operators.histogram import (
+    categorical_counts,
+    value_histogram,
+)
+
+
+def _hist(spark, rows, with_part=False):
+    if with_part:
+        return spark.createDataFrame(
+            [(0, *r) for r in rows], "part_id int, col string, bin string, cnt long"
+        )
+    return spark.createDataFrame(rows, "col string, bin string, cnt long")
+
+
+def test_psi_zero_for_identical(spark):
+    rows = [("x", "a", 100), ("x", "b", 300), ("x", "c", 600)]
+    out = drift_stats(
+        _hist(spark, rows, True), _hist(spark, rows), "part_id"
+    ).collect()[0]
+    assert abs(out["psi"]) < 1e-12
+    assert abs(out["js_divergence"]) < 1e-12
+    assert abs(out["chi2_stat"]) < 1e-12
+    assert out["ks_stat"] < 1e-12
+    assert out["psi_drift"] == "none"
+
+
+def test_psi_hand_computed(spark):
+    cur = [("x", "a", 50), ("x", "b", 50)]
+    ref = [("x", "a", 80), ("x", "b", 20)]
+    out = drift_stats(_hist(spark, cur, True), _hist(spark, ref)).collect()[0]
+    expected = (0.5 - 0.8) * math.log(0.5 / 0.8) + (0.5 - 0.2) * math.log(
+        0.5 / 0.2
+    )
+    assert abs(out["psi"] - expected) < 1e-12
+    assert out["psi_drift"] == "large"
+    # KS on two bins: |0.5-0.8| = 0.3
+    assert abs(out["ks_stat"] - 0.3) < 1e-12
+    # chi-square 2x2 contingency, hand-computed
+    n, m = 100, 100
+    e_a = (50 + 80) / 2
+    e_b = (50 + 20) / 2
+    chi2 = sum(
+        (o - e) ** 2 / e
+        for o, e in [(50, e_a), (80, e_a), (50, e_b), (20, e_b)]
+    )
+    assert abs(out["chi2_stat"] - chi2) < 1e-9
+    assert out["chi2_dof"] == 1
+
+
+def test_missing_ref_bin_handled(spark):
+    cur = [("x", "a", 90), ("x", "z", 10)]  # z unseen in reference
+    ref = [("x", "a", 100), ("x", "b", 0)]
+    out = drift_stats(_hist(spark, cur, True), _hist(spark, ref)).collect()[0]
+    assert out["psi"] > 0  # epsilon-clamped, finite
+    assert math.isfinite(out["psi"]) and math.isfinite(out["chi2_stat"])
+
+
+def test_pvalues_against_tables():
+    assert abs(chi2_sf(3.841, 1) - 0.05) < 1e-3
+    assert abs(chi2_sf(18.307, 10) - 0.05) < 1e-3
+    assert abs(chi2_sf(31.410, 20) - 0.05) < 1e-3
+    assert abs(kolmogorov_sf(1.36) - 0.049) < 5e-4
+    assert kolmogorov_sf(0.2) > 0.999
+    assert ks_2samp_pvalue(0.5, 200, 200) < 1e-10
+    assert ks_2samp_pvalue(0.01, 100, 100) > 0.99
+
+
+def test_drifted_fixture_detection(spark, ref_df, cur_drifted_df):
+    ref_ntok = value_histogram(ref_df, "n_tok", partition_col=None)
+    ref_src = categorical_counts(ref_df, "source", partition_col=None)
+    nd = numeric_drift(value_histogram(cur_drifted_df, "n_tok"), ref_ntok, "n_tok")
+    cd = drift_stats(categorical_counts(cur_drifted_df, "source"), ref_src)
+    out = with_drift_pvalues(nd.unionByName(cd.select(nd.columns)))
+    rows = {(r["part_id"], r["col"]): r for r in out.collect()}
+    # FIXTURES.md: p6/p7 shifted n_tok → PSI > 0.25 and significant KS
+    for p in (6, 7):
+        assert rows[(p, "n_tok")]["psi"] > 0.25
+        assert rows[(p, "n_tok")]["psi_drift"] == "large"
+        assert rows[(p, "n_tok")]["ks_pvalue"] < 0.01
+    # clean partitions: PSI < 0.1, not significant
+    for p in (0, 1, 2, 3, 5):
+        assert rows[(p, "n_tok")]["psi"] < 0.1, p
+        assert rows[(p, "n_tok")]["psi_drift"] == "none"
+    # p4 novel source category drifts the categorical distribution
+    assert rows[(4, "source")]["psi"] > 0.25
+    assert rows[(4, "source")]["chi2_pvalue"] < 0.01
+    # clean partitions: no PSI drift; at α=0.05 across 7 partitions up to one
+    # chance-level KS/chi² significance is statistically expected
+    clean = [(p, "source") for p in (0, 1, 2, 3, 5, 6, 7)]
+    assert all(rows[k]["psi"] < 0.1 for k in clean)
+    assert sum(bool(rows[k]["drift_detected"]) for k in clean) <= 1
+
+
+def test_clean_fixture_no_drift(spark, ref_df, cur_clean_df):
+    ref_ntok = value_histogram(ref_df, "n_tok", partition_col=None)
+    nd = with_drift_pvalues(
+        numeric_drift(value_histogram(cur_clean_df, "n_tok"), ref_ntok, "n_tok")
+    )
+    for r in nd.collect():
+        assert r["psi"] < 0.1
+        assert r["psi_drift"] == "none"
+
+
+def test_salted_categorical_counts_match_plain(spark, cur_drifted_df):
+    a = {
+        (r["part_id"], r["bin"]): r["cnt"]
+        for r in categorical_counts(cur_drifted_df, "source", salted=True).collect()
+    }
+    b = {
+        (r["part_id"], r["bin"]): r["cnt"]
+        for r in categorical_counts(cur_drifted_df, "source", salted=False).collect()
+    }
+    assert a == b
