@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast cross join of the (small)
+query set against the corpus; the dot product is a JVM higher-order
+expression (zip_with + aggregate), so the scan stays in whole-stage codegen
+and the per-query top-k is a TakeOrdered, not a global sort.
+
+Scale path: IVF-style coarse quantization — assign every vector to its
+nearest of K centroids (broadcast literal matrix), shuffle once by centroid,
+probe only the query's nprobe nearest cells. At 10^12 vectors the probe
+touches K·nprobe/K of the data instead of all of it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, rank, vec_id, cosine). Queries are broadcast; ties
+    broken by vec_id so results are deterministic.
+    """
+    q = queries.select(
+        F.col(query_key), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(key_col), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_key,
+        key_col,
+        (_dot(F.col("_cv"), F.col("_qv")) / (_norm(F.col("_cv")) * _norm(F.col("_qv")))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.desc("cosine"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, "rank", key_col, "cosine")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample → IVF coarse centroids.
+    At 10^12 rows the sample fraction makes this a bounded driver cost
+    (k-means on ~1e5 sampled vectors); assignment stays distributed."""
+    pdf = (
+        corpus.select(vec_col).sample(fraction=sample_fraction, seed=seed)
+        .toPandas()
+    )
+    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(len(cent)):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(0)
+    return cent
+
+
+def _cell_assign(vec_col, centroids: np.ndarray):
+    """Nearest-centroid id as a pure expression: argmin over literal
+    centroid arrays (K small). d² = |v|² - 2v·c + |c|²; |v|² is common →
+    argmin over (-2v·c + |c|²)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    scores = [
+        (
+            -2.0 * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+            + float((c**2).sum())
+        )
+        for c in centroids
+    ]
+    best = scores[0]
+    best_i = F.lit(0)
+    for i in range(1, len(scores)):
+        cond = scores[i] < best
+        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        best = F.when(cond, scores[i]).otherwise(best)
+    return best_i
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its IVF cell and repartition by cell so a probe
+    reads only co-located partitions."""
+    cell = _cell_assign(vec_col, centroids).alias("cell")
+    return corpus.select(key_col, vec_col, cell).repartition(
+        max(len(centroids) // 2, 1), "cell"
+    )
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_key: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's nprobe nearest
+    cells. Query→cells mapping is computed driver-side (queries are small),
+    the probe is a broadcast join pruned by cell."""
+    qpdf = queries.select(query_key, vec_col).toPandas()
+    qv = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    d2 = ((qv[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+    probe_rows = []
+    for i, qid in enumerate(qpdf[query_key]):
+        for c in np.argsort(d2[i])[:nprobe]:
+            probe_rows.append(
+                (int(qid), int(c), [float(x) for x in qpdf[vec_col][i]])
+            )
+    spark = index.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_key} long, cell int, _qv array<float>"
+    )
+    scored = index.join(F.broadcast(probes), on="cell").select(
+        query_key,
+        key_col,
+        (
+            _dot(F.col(vec_col), F.col("_qv"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("_qv")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_key).orderBy(F.desc("cosine"), F.asc(key_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_key, "rank", key_col, "cosine")
+    )

@@ -1,0 +1,141 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language ID, fingerprinting. All hot-path logic is built-in
+``pyspark.sql.functions`` (regex/string/array expressions inside
+whole-stage codegen); nothing touches Python per row.
+
+Every function is also expressible in ANSI SQL — the DuckDB oracles in
+``__spark_entry__`` mirror these formulas term for term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+STOPWORDS_EN = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+]
+
+
+def _words(text_col: str):
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword estimate
+    (ceil(chars/4) — the standard ~4 chars/token heuristic)."""
+    w = _words(text_col)
+    return df.withColumn("n_words", F.size(w)).withColumn(
+        "n_subword_est",
+        F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("int"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1] from length, word length,
+    stopword density and punctuation density (the C4/Gopher-style cheap
+    filters). Components:
+
+      len_ok        : 20 ≤ chars ≤ 20000
+      word_len_ok   : 3 ≤ mean word length ≤ 12
+      stopword_frac : fraction of words in a small English stopword set
+      punct_ratio   : punctuation chars / chars (≥0.3 penalized)
+
+    score = 0.25·len_ok + 0.25·word_len_ok + 0.25·min(1, 5·stopword_frac)
+          + 0.25·(1 - min(1, punct_ratio/0.3))
+    """
+    t = F.col(text_col)
+    chars = F.length(t)
+    w = _words(text_col)
+    n_words = F.size(w)
+    mean_wl = chars / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.filter(w, lambda x: x.isin(*STOPWORDS_EN))
+    )
+    stop_frac = stop_hits / F.greatest(n_words, F.lit(1))
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    punct_ratio = punct / F.greatest(chars, F.lit(1))
+
+    len_ok = ((chars >= 20) & (chars <= 20000)).cast("double")
+    wl_ok = ((mean_wl >= 3) & (mean_wl <= 12)).cast("double")
+    score = (
+        0.25 * len_ok
+        + 0.25 * wl_ok
+        + 0.25 * F.least(F.lit(1.0), stop_frac * 5)
+        + 0.25 * (1 - F.least(F.lit(1.0), punct_ratio / 0.3))
+    )
+    return (
+        df.withColumn("n_chars_q", chars)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("stopword_frac", F.round(stop_frac, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: the language whose marker lexicon hits the
+    most words wins; CJK codepoints short-circuit to "zh"; ties/no-hits →
+    "und". Deterministic tie-break by language code order."""
+    w = _words(text_col)
+
+    def _marker_hits(markers):
+        # closure keeps the F.filter lambda single-parameter (a second
+        # parameter would be interpreted as the element index)
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    hits = {lang: _marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # deterministic order
+        cond = hits[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return df.withColumn(
+        "lang_pred", F.when(has_cjk, "zh").otherwise(best_lang)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized text (exact identity)
+    plus a 64-bit rolling-window content key (first/last 64 normalized chars
+    + length) that survives mid-document edits poorly but catches
+    boilerplate-wrapped copies cheaply."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "rough_key",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.substring(norm, 1, 64),
+                F.substring(norm, -64, 64),
+                F.length(norm).cast("string"),
+            )
+        ),
+    )
+
+
+def corpus_summary(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source corpus statistics — the curation dashboard aggregate."""
+    d = with_quality_score(with_token_count(df, text_col), text_col)
+    return d.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("stopword_frac"), 4).alias("avg_stopword_frac"),
+        F.min("n_chars_q").alias("min_chars"),
+        F.max("n_chars_q").alias("max_chars"),
+    )

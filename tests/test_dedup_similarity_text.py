@@ -1,0 +1,190 @@
+"""Training-data pipeline operators: dedup family, ANN, text analysis,
+multimodal plumbing — over the driver testdata tables + synthetic cases."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_drift_monitoring_spark.operators import dedup as D
+from data_drift_monitoring_spark.operators import similarity as S
+from data_drift_monitoring_spark.operators import text_analysis as TA
+from data_drift_monitoring_spark.operators import multimodal as MM
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # ws/case dup
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different content about spark engines"),
+        (5, "totally unrelated text regarding database systems"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_normalized(spark, dup_docs):
+    groups = D.exact_duplicates(dup_docs, "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["members"] == [1, 2]
+    kept = D.dedup_exact_content(dup_docs, "doc_id").select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    pairs = D.minhash_lsh_duplicates(
+        dup_docs, "doc_id", threshold=0.5, num_hashes=64, bands=32
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in found           # exact dup → jaccard 1
+    assert (1, 3) in found or (2, 3) in found  # near dup shares most shingles
+    assert all({a, b} & {4, 5} == set() or (a, b) == (4, 5) for a, b in found)
+    # est_jaccard of the exact pair is 1.0
+    exact = [r for r in pairs if (r["a"], r["b"]) == (1, 2)][0]
+    assert exact["est_jaccard"] == 1.0
+
+
+def test_ngram_jaccard_verification(spark, dup_docs):
+    cand = D.minhash_lsh_duplicates(dup_docs, "doc_id", threshold=0.3)
+    verified = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.ngram_jaccard(dup_docs, cand, "doc_id").collect()
+    }
+    assert verified[(1, 2)] == 1.0
+    if (1, 3) in verified:
+        assert 0.3 < verified[(1, 3)] < 1.0
+
+
+def test_simhash_collision_groups(spark, dup_docs):
+    groups = D.simhash_duplicates(dup_docs, "doc_id").collect()
+    assert any(g["members"] == [1, 2] for g in groups)
+
+
+def test_minhash_on_real_documents(spark, docs):
+    # the documents table is word-soup: no exact dups expected, operator
+    # must still run end to end and return a well-formed frame
+    out = D.minhash_lsh_duplicates(
+        docs.limit(200), "doc_id", threshold=0.9, num_hashes=32, bands=8
+    )
+    assert out.columns == ["a", "b", "est_jaccard"]
+    out.count()  # executes
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16).astype(float)
+    rows = [
+        (1, (base).tolist()),
+        (2, (base * 1.001 + 1e-4).tolist()),   # near-identical direction
+        (3, (-base).tolist()),                  # opposite
+        (4, rng.standard_normal(16).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.embedding_near_duplicates(df, threshold=0.99, planes=8, dim=16).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(1, 2)}
+
+
+def test_bruteforce_topk_self_nearest(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk_bruteforce(embs, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid  # self is the nearest neighbor
+        assert abs(top["cosine"] - 1.0) < 1e-6
+
+
+def test_ivf_topk_mostly_agrees_with_bruteforce(spark, embs):
+    cent = S.kmeans_centroids(embs, n_cells=8, iters=3)
+    index = S.ivf_index(embs, cent)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk_bruteforce(embs, queries, k=3).collect()
+    approx = S.ivf_topk(index, queries, cent, k=3, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # recall@3 with nprobe=4/8 cells should be high; self always found
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 3 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+    for q in exact_sets:
+        assert q in approx_sets.get(q, set())
+
+
+def test_token_count_and_quality(spark, docs):
+    out = TA.with_quality_score(TA.with_token_count(docs), "text").limit(50).collect()
+    for r in out:
+        assert r["n_words"] >= 1
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["stopword_frac"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "el perro de la casa que ladra los dias"),
+        (3, "der hund und die katze das ist gut"),
+        (4, "你好 世界 这是 中文"),
+        (5, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in TA.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "und"}
+
+
+def test_fingerprint_stability(spark, dup_docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in TA.with_fingerprint(dup_docs).collect()}
+    assert fp[1] == fp[2]  # normalization-equal docs share fingerprint
+    assert fp[1] != fp[3]
+
+
+def test_corpus_summary(spark, docs):
+    out = TA.corpus_summary(docs).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    assert all(r["n_docs"] > 0 and r["total_words"] > 0 for r in out)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = MM.synth_media(spark, n=30)
+    feats = MM.extract_features(media, dim=8, fake=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["n_bytes"] == 128
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+    # determinism
+    again = MM.extract_features(media, dim=8, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_frame_sampling(spark):
+    media = MM.synth_media(spark, n=9)
+    frames = MM.sample_frames(media, every_ms=250, fake=True).collect()
+    vids = 3  # every 3rd is video
+    assert len(frames) == vids * 4  # 1000ms / 250ms
+    assert {r["frame_ts_ms"] for r in frames} == {0, 250, 500, 750}
