@@ -1,38 +1,1013 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship per-partition validation pipeline over a
+tokenized-sequence view derived from the documents table at sf0.001.
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one. Column names/aliases match
+pairwise; doubles are rounded to stabilize cross-engine value hashes.
+
+Shared conventions between Spark queries and DuckDB oracles:
+- word tokens = split on a single space of whitespace-collapsed lowercased
+  text (both engines)
+- PSI/JS use natural log with proportions clamped at 1e-6 (drift.PSI_EPS)
+- chi-square: 2xk contingency expected counts, bins empty in both skipped
+- quantiles: exact linear interpolation (Spark `percentile` == DuckDB
+  `quantile_cont`)
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from data_drift_monitoring_spark.config import DEFAULT_CONFIG
+from data_drift_monitoring_spark.operators import dedup as _dedup
+from data_drift_monitoring_spark.operators import drift as _drift
+from data_drift_monitoring_spark.operators import histogram as _hist
+from data_drift_monitoring_spark.operators import outliers as _out
+from data_drift_monitoring_spark.operators import similarity as _sim
+from data_drift_monitoring_spark.operators import stats as _stats
+from data_drift_monitoring_spark.operators import text_analysis as _ta
+from data_drift_monitoring_spark.operators import uniqueness as _uni
+from data_drift_monitoring_spark.operators.referential import (
+    referential_stats,
+    referential_violations,
+)
+
+_T = DEFAULT_CONFIG.thresholds
+
+# documents.source values src0..src9 are "allowed"; src10+ violate
+ALLOWED_DOC_SOURCES = [f"src{i}" for i in range(10)]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sequences_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized-sequence table derived deterministically from documents:
+    doc_id, tokens (per-word 31-bit hashes — Spark-side only), n_tok =
+    word count, source, part_id = doc_id % 8. The oracle mirrors every
+    column except `tokens` (hash functions differ across engines; all
+    oracle-checked stats depend only on n_tok/source/doc_id)."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            words, lambda w: F.pmod(F.xxhash64(w), F.lit((1 << 31) - 1)).cast("int")
+        ).alias("tokens"),
+        F.size(words).cast("int").alias("n_tok"),
+        F.col("source"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part_id"),
+    )
+
+
+_SEQ_ORACLE = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tok,
+           source,
+           CAST(doc_id % 8 AS INT) AS part_id
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-partition contract verdicts over the sf0.001-derived
+    sequence table (stats + length consistency + uniqueness + referential),
+    the reference's /check_quality generalized per partition."""
+    sf_dir = "/root/testdata/sf0.001"
+    seq = _sequences_view(spark, sf_dir)
+    from data_drift_monitoring_spark.plans.pipeline import build_verdicts
+
+    dim = spark.createDataFrame(
+        [(s,) for s in ALLOWED_DOC_SOURCES + [f"src{i}" for i in range(10, 20)]],
+        "source string",
+    )
+    return build_verdicts(seq, ref_stats=None, allowed_sources=dim)
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_seq_stats(spark, sf_dir):
+    seq = _sequences_view(spark, sf_dir)
+    # swap tokens for a constant array so column pruning skips the per-word
+    # hashing (the selected stats don't read tokens)
+    out = _stats.sequence_stats(
+        seq.drop("tokens").withColumn("tokens", F.array(F.lit(0)))
+    )
+    # tokens column is engine-only; keep the oracle-checkable columns
+    return out.select(
+        "part_id",
+        "n_rows",
+        "null_doc_id",
+        "null_source",
+        "total_tokens",
+        "min_n_tok",
+        "max_n_tok",
+        F.round("mean_n_tok", 4).alias("mean_n_tok"),
+        F.round("sd_n_tok", 4).alias("sd_n_tok"),
+    ).orderBy("part_id")
+
+
+def q_len_consistency(spark, sf_dir):
+    """documents carries a declared n_chars — the real-world analogue of the
+    n_tok/size(tokens) contract (A20)."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("part_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.length("text") != F.col("n_chars")).cast("long")
+            ).alias("len_mismatch"),
+        )
+        .orderBy("part_id")
+    )
+
+
+def q_missing_profile(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").withColumn("part_id", F.lit(0))
+    prof = _stats.column_profile(ev, columns=["user_id", "value", "props"])
+    return prof.select(
+        F.col("column").alias("col_name"), "n_rows", "null_count", "null_pct"
+    ).orderBy("col_name")
+
+
+def q_numeric_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_quantiles(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    p = F.percentile(
+        F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return li.agg(
+        F.round(p[0], 4).alias("q1"),
+        F.round(p[1], 4).alias("median"),
+        F.round(p[2], 4).alias("q3"),
+    )
+
+
+def q_outlier_iqr(spark, sf_dir):
+    """IQR outlier counts per group (A6/A7/P3) — two-pass exact-quantile."""
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_returnflag", "part_id_s"
+    )
+    g = li.groupBy("part_id_s").agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.75)).alias("q3"),
+    )
+    b = g.select(
+        "part_id_s",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    j = li.join(F.broadcast(b), on="part_id_s")
+    return (
+        j.groupBy("part_id_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi"))
+                ).cast("long")
+            ).alias("outliers"),
+        )
+        .select(
+            F.col("part_id_s").alias("l_returnflag"), "n_rows", "outliers"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_zscore_outliers(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sd"),
+    )
+    j = o.join(F.broadcast(g), on="o_orderpriority")
+    z = F.abs((F.col("o_totalprice") - F.col("mu")) / F.col("sd"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((z > 3.0).cast("long")).alias("z_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_histogram(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    return (
+        _hist.numeric_histogram(
+            o, "o_totalprice", lo=0.0, hi=600000.0, bins=20, partition_col=None
+        )
+        .select("col", "bin", "cnt")
+        .orderBy("bin")
+    )
+
+
+def q_topk_values(spark, sf_dir):
+    p = _read(spark, sf_dir, "part")
+    return _hist.top_k_values(p, "p_brand", k=5)
+
+
+def q_distinct_counts(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("d_pk"),
+    )
+
+
+def q_duplicates(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "part_id", F.lit(0).cast("int")
+    )
+    return _uni.duplicate_stats(li, keys=["l_partkey", "l_suppkey"]).select(
+        "n_rows", "duplicate_rows", "duplicate_groups", "duplicate_pct", "unique_keys"
+    )
+
+
+def q_referential_ok(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer").withColumn(
+        "part_id", F.pmod("c_custkey", F.lit(4)).cast("int")
+    )
+    n = _read(spark, sf_dir, "nation")
+    return referential_stats(c, n, "c_nationkey", "n_nationkey").orderBy(
+        "part_id"
+    )
+
+
+def q_referential_violations(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    dim = spark.createDataFrame([(s,) for s in ALLOWED_DOC_SOURCES], "source string")
+    v = referential_violations(d, dim, "source")
+    return (
+        v.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .orderBy("source")
+    )
+
+
+def q_missing_patterns(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").withColumn("part_id", F.lit(0).cast("int"))
+    return _stats.missing_patterns(
+        ev, columns=["user_id", "event_type", "value", "props"]
+    ).select(
+        "n_rows",
+        "rows_with_missing",
+        "rows_with_missing_pct",
+        "rows_multiple_missing",
+        "max_missing_in_row",
+    )
+
+
+def _halves(li):
+    cut = F.lit("1997-01-01").cast("timestamp")
+    return li.withColumn("half", F.when(F.col("l_shipdate") < cut, "a").otherwise("b"))
+
+
+def q_psi_quantity(spark, sf_dir):
+    """PSI of the l_quantity distribution between ship-date halves — the
+    drift operator over per-value bins (quantity is small-int-valued)."""
+    li = _halves(_read(spark, sf_dir, "lineitem"))
+    cur = _hist.value_histogram(
+        li.filter("half = 'b'"), "l_quantity", partition_col=None
+    )
+    ref = _hist.value_histogram(
+        li.filter("half = 'a'"), "l_quantity", partition_col=None
+    )
+    out = _drift.drift_stats(cur, ref, partition_col=None)
+    return out.select(
+        "col",
+        "n_cur",
+        "n_ref",
+        F.round("psi", 6).alias("psi"),
+        F.round("js_divergence", 6).alias("js_divergence"),
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("chi2_stat", 4).alias("chi2_stat"),
+        "chi2_dof",
+        "psi_drift",
+    )
+
+
+def q_chi2_returnflag(spark, sf_dir):
+    li = _halves(_read(spark, sf_dir, "lineitem"))
+    cur = _hist.categorical_counts(
+        li.filter("half = 'b'"), "l_returnflag", partition_col=None, salted=False
+    )
+    ref = _hist.categorical_counts(
+        li.filter("half = 'a'"), "l_returnflag", partition_col=None, salted=False
+    )
+    out = _drift.drift_stats(cur, ref, partition_col=None)
+    return out.select(
+        "col",
+        "n_cur",
+        "n_ref",
+        F.round("psi", 6).alias("psi"),
+        F.round("chi2_stat", 4).alias("chi2_stat"),
+        "chi2_dof",
+        "psi_drift",
+    )
+
+
+def q_drift_verdict_sources(spark, sf_dir):
+    """Categorical drift of documents.source between doc_id halves with the
+    PSI severity classification — verdict-shaped output."""
+    d = _read(spark, sf_dir, "documents")
+    mid = d.agg(F.percentile(F.col("doc_id").cast("double"), F.lit(0.5))).collect()[0][0]
+    cur = _hist.categorical_counts(
+        d.filter(F.col("doc_id") > mid), "source", partition_col=None, salted=False
+    )
+    ref = _hist.categorical_counts(
+        d.filter(F.col("doc_id") <= mid), "source", partition_col=None, salted=False
+    )
+    out = _drift.drift_stats(cur, ref, partition_col=None)
+    return out.select(
+        "col", F.round("psi", 6).alias("psi"), "psi_drift",
+        F.round("js_divergence", 6).alias("js_divergence"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (streaming-shaped, batch-executed)."""
+    ev = _read(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def q_corpus_summary(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return _ta.corpus_summary(d).orderBy("source")
+
+
+def q_token_counts(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    t = _ta.with_token_count(d)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_subword_est").alias("total_subwords"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _ta.with_quality_score(_read(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+            F.round(F.avg("stopword_frac"), 4).alias("avg_stop"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    d = _ta.with_lang_id(_read(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    kept = _dedup.dedup_exact_content(d, "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _ta.with_fingerprint(_read(spark, sf_dir, "documents"))
+    return d.agg(
+        F.countDistinct("fingerprint").alias("d_fingerprint"),
+        F.countDistinct("rough_key").alias("d_rough"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_ngram_jaccard_self(spark, sf_dir):
+    """Exact 3-gram Jaccard of each document with itself == 1.0 — the
+    verification operator's oracle-checkable identity; returns the count
+    of docs whose self-similarity is exactly 1."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = d.select(
+        F.col("doc_id").alias("a"), F.col("doc_id").alias("b")
+    )
+    out = _dedup.ngram_jaccard(d, pairs, "doc_id")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("jaccard") == 1.0).cast("long")).alias("n_exact"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _sim.cosine_topk_bruteforce(e, q, k=3)
+    return out.select("query_id", "rank", "vec_id").orderBy("query_id", "rank")
+
+
+def q_embedding_pairs_exact(spark, sf_dir):
+    """Brute-force near-dup pair count above a cosine threshold (the exact
+    baseline the LSH variant approximates)."""
+    e = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", (dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("c"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("c") >= 0.5).cast("long")).alias("n_similar_50"),
+        F.sum((F.col("c") >= 0.8).cast("long")).alias("n_similar_80"),
+    )
+
+
+# -- engine-only queries (no SQL oracle → driver rows-only check) -----------
+
+def q_minhash_near_dup(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = _dedup.minhash_lsh_duplicates(
+        d, "doc_id", threshold=0.5, num_hashes=32, bands=8
+    )
+    return out.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_simhash_groups(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return _dedup.simhash_duplicates(d, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_groups")
+    )
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    out = _dedup.embedding_near_duplicates(e, threshold=0.8, planes=8)
+    return out.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_seq_pipeline_verdicts(spark, sf_dir):
+    """Full validation pipeline over the derived sequence view (engine-only:
+    verdict text depends on pandas-UDF drift p-values and token columns)."""
+    seq = _sequences_view(spark, sf_dir)
+    from data_drift_monitoring_spark.plans.pipeline import build_verdicts
+
+    dim = spark.createDataFrame(
+        [(f"src{i}",) for i in range(20)], "source string"
+    )
+    v = build_verdicts(seq, ref_stats=None, allowed_sources=dim)
+    return v.orderBy("part_id", "check", "column")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_seq_stats": q_seq_stats,
+        "q_len_consistency": q_len_consistency,
+        "q_missing_profile": q_missing_profile,
+        "q_numeric_summary": q_numeric_summary,
+        "q_quantiles": q_quantiles,
+        "q_outlier_iqr": q_outlier_iqr,
+        "q_zscore_outliers": q_zscore_outliers,
+        "q_histogram": q_histogram,
+        "q_topk_values": q_topk_values,
+        "q_distinct_counts": q_distinct_counts,
+        "q_duplicates": q_duplicates,
+        "q_referential_ok": q_referential_ok,
+        "q_referential_violations": q_referential_violations,
+        "q_missing_patterns": q_missing_patterns,
+        "q_psi_quantity": q_psi_quantity,
+        "q_chi2_returnflag": q_chi2_returnflag,
+        "q_drift_verdict_sources": q_drift_verdict_sources,
+        "q_events_hourly": q_events_hourly,
+        "q_corpus_summary": q_corpus_summary,
+        "q_token_counts": q_token_counts,
+        "q_quality_scores": q_quality_scores,
+        "q_lang_id": q_lang_id,
+        "q_exact_dedup": q_exact_dedup,
+        "q_fingerprints": q_fingerprints,
+        "q_ngram_jaccard_self": q_ngram_jaccard_self,
+        "q_ann_topk": q_ann_topk,
+        "q_embedding_pairs_exact": q_embedding_pairs_exact,
+        # engine-only (rows-only check)
+        "q_minhash_near_dup": q_minhash_near_dup,
+        "q_simhash_groups": q_simhash_groups,
+        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_WORDS = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+_STOPWORDS = "('the','and','of','to','a','in','is','it','that','for')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "q_seq_stats": f"""
+            WITH seq AS ({_SEQ_ORACLE})
+            SELECT part_id,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
+                   SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
+                   SUM(CAST(n_tok AS BIGINT)) AS total_tokens,
+                   MIN(n_tok) AS min_n_tok,
+                   MAX(n_tok) AS max_n_tok,
+                   ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS mean_n_tok,
+                   ROUND(STDDEV_SAMP(CAST(n_tok AS DOUBLE)), 4) AS sd_n_tok
+            FROM seq GROUP BY part_id ORDER BY part_id
+        """,
+        "q_len_consistency": """
+            SELECT CAST(doc_id % 8 AS INT) AS part_id,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS len_mismatch
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "q_missing_profile": """
+            WITH t AS (
+              SELECT 'props' AS col_name, COUNT(*) AS n_rows,
+                     SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_count
+              FROM events
+              UNION ALL
+              SELECT 'user_id', COUNT(*),
+                     SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+              UNION ALL
+              SELECT 'value', COUNT(*),
+                     SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM events
+            )
+            SELECT col_name, n_rows, null_count,
+                   ROUND(null_count * 100.0 / n_rows, 2) AS null_pct
+            FROM t ORDER BY col_name
+        """,
+        "q_numeric_summary": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_quantiles": """
+            SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+                   ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+            FROM lineitem
+        """,
+        "q_outlier_iqr": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.75) AS q3
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5*(b.q3-b.q1)
+                             OR l.l_extendedprice > b.q3 + 1.5*(b.q3-b.q1)
+                            THEN 1 ELSE 0 END) AS outliers
+            FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+        """,
+        "q_zscore_outliers": """
+            WITH g AS (
+              SELECT o_orderpriority, AVG(o_totalprice) AS mu,
+                     STDDEV_SAMP(o_totalprice) AS sd
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN ABS((o.o_totalprice - g.mu)/g.sd) > 3.0
+                            THEN 1 ELSE 0 END) AS z_outliers
+            FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        "q_histogram": """
+            SELECT 'o_totalprice' AS col,
+                   lpad(CAST(LEAST(19, GREATEST(0,
+                        CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT))) AS VARCHAR), 6, '0') AS bin,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY 2 ORDER BY 2
+        """,
+        "q_topk_values": """
+            SELECT p_brand AS value, COUNT(*) AS cnt
+            FROM part GROUP BY p_brand
+            ORDER BY cnt DESC, value ASC LIMIT 5
+        """,
+        "q_distinct_counts": """
+            SELECT COUNT(DISTINCT l_orderkey) AS d_orderkey,
+                   COUNT(DISTINCT l_partkey) AS d_partkey,
+                   COUNT(DISTINCT l_returnflag) AS d_returnflag,
+                   COUNT(DISTINCT (l_orderkey, l_linenumber)) AS d_pk
+            FROM lineitem
+        """,
+        "q_duplicates": """
+            WITH g AS (
+              SELECT l_partkey, l_suppkey, COUNT(*) AS n
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            )
+            SELECT SUM(n) AS n_rows,
+                   SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS duplicate_rows,
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS duplicate_groups,
+                   ROUND(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) * 100.0 / SUM(n), 2)
+                       AS duplicate_pct,
+                   COUNT(*) AS unique_keys
+            FROM g
+        """,
+        "q_referential_ok": """
+            SELECT CAST(c_custkey % 4 AS INT) AS part_id,
+                   COUNT(*) AS n_rows,
+                   SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS violations,
+                   ROUND(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 100.0
+                         / COUNT(*), 2) AS violation_pct
+            FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+              ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_referential_violations": """
+            SELECT source, COUNT(*) AS violations
+            FROM documents
+            WHERE source NOT IN ('src0','src1','src2','src3','src4','src5',
+                                 'src6','src7','src8','src9')
+               OR source IS NULL
+            GROUP BY source ORDER BY source
+        """,
+        "q_missing_patterns": """
+            WITH r AS (
+              SELECT (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS rm
+              FROM events
+            )
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS rows_with_missing,
+                   ROUND(SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
+                       AS rows_with_missing_pct,
+                   SUM(CASE WHEN rm > 1 THEN 1 ELSE 0 END) AS rows_multiple_missing,
+                   MAX(rm) AS max_missing_in_row
+            FROM r
+        """,
+        "q_psi_quantity": _psi_oracle(),
+        "q_chi2_returnflag": _chi2_oracle(),
+        "q_drift_verdict_sources": _source_drift_oracle(),
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_corpus_summary": f"""
+            WITH d AS (
+              SELECT source, text,
+                     length(text) AS chars,
+                     len({_WORDS}) AS n_words,
+                     len(list_filter({_WORDS}, x -> x IN {_STOPWORDS})) AS stop_hits,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct
+              FROM documents
+            ), q AS (
+              SELECT source, n_words,
+                     CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1) AS stop_frac,
+                     chars,
+                     0.25 * (CASE WHEN chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN CAST(chars AS DOUBLE)/GREATEST(n_words,1)
+                                  BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * LEAST(1.0, (CAST(stop_hits AS DOUBLE)/GREATEST(n_words,1)) * 5)
+                   + 0.25 * (1 - LEAST(1.0, (CAST(punct AS DOUBLE)/GREATEST(chars,1)) / 0.3))
+                     AS score
+              FROM d
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(n_words AS BIGINT)) AS total_words,
+                   ROUND(AVG(CAST(n_words AS DOUBLE)), 4) AS avg_words,
+                   ROUND(AVG(ROUND(score, 4)), 4) AS avg_quality,
+                   ROUND(AVG(ROUND(stop_frac, 4)), 4) AS avg_stopword_frac,
+                   MIN(chars) AS min_chars,
+                   MAX(chars) AS max_chars
+            FROM q GROUP BY source ORDER BY source
+        """,
+        "q_token_counts": f"""
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CAST(len({_WORDS}) AS BIGINT)) AS total_words,
+                   SUM(CAST(CAST(CEIL(length(text) / 4.0) AS INT) AS BIGINT))
+                       AS total_subwords
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "q_quality_scores": f"""
+            WITH d AS (
+              SELECT source,
+                     length(text) AS chars,
+                     len({_WORDS}) AS n_words,
+                     len(list_filter({_WORDS}, x -> x IN {_STOPWORDS})) AS stop_hits,
+                     length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct
+              FROM documents
+            )
+            SELECT source,
+                   ROUND(AVG(ROUND(
+                     0.25 * (CASE WHEN chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN CAST(chars AS DOUBLE)/GREATEST(n_words,1)
+                                  BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * LEAST(1.0, (CAST(stop_hits AS DOUBLE)/GREATEST(n_words,1)) * 5)
+                   + 0.25 * (1 - LEAST(1.0, (CAST(punct AS DOUBLE)/GREATEST(chars,1)) / 0.3))
+                   , 4)), 4) AS avg_quality,
+                   ROUND(AVG(ROUND(CAST(punct AS DOUBLE)/GREATEST(chars,1), 4)), 4)
+                       AS avg_punct,
+                   ROUND(AVG(ROUND(CAST(stop_hits AS DOUBLE)/GREATEST(n_words,1), 4)), 4)
+                       AS avg_stop
+            FROM d GROUP BY source ORDER BY source
+        """,
+        "q_lang_id": _lang_id_oracle(),
+        "q_exact_dedup": """
+            WITH k AS (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n_kept FROM k WHERE rn = 1
+            GROUP BY source ORDER BY source
+        """,
+        "q_fingerprints": """
+            SELECT COUNT(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS d_fingerprint,
+                   COUNT(DISTINCT md5(
+                     substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 64)
+                     || '|' ||
+                     CASE WHEN length(regexp_replace(lower(text), '\\s+', ' ', 'g')) >= 64
+                          THEN substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                               length(regexp_replace(lower(text), '\\s+', ' ', 'g')) - 63, 64)
+                          ELSE regexp_replace(lower(text), '\\s+', ' ', 'g') END
+                     || '|' ||
+                     CAST(length(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS VARCHAR)
+                   )) AS d_rough,
+                   COUNT(*) AS n_rows
+            FROM documents
+        """,
+        "q_ngram_jaccard_self": """
+            SELECT COUNT(*) AS n_pairs, COUNT(*) AS n_exact
+            FROM documents WHERE doc_id < 200
+        """,
+        "q_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "q_embedding_pairs_exact": """
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 500),
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     list_cosine_similarity(a.embedding, b.embedding) AS c
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT COUNT(*) AS n_pairs,
+                   SUM(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS n_similar_50,
+                   SUM(CASE WHEN c >= 0.8 THEN 1 ELSE 0 END) AS n_similar_80
+            FROM p
+        """,
+    }
+
+
+def _psi_oracle() -> str:
+    return """
+        WITH li AS (
+          SELECT l_quantity,
+                 CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 'a' ELSE 'b' END AS half
+          FROM lineitem
+        ),
+        h AS (
+          SELECT lpad(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), 6, '0') AS bin,
+                 SUM(CASE WHEN half='b' THEN 1 ELSE 0 END) AS cur_cnt,
+                 SUM(CASE WHEN half='a' THEN 1 ELSE 0 END) AS ref_cnt
+          FROM li GROUP BY 1
+        ),
+        t AS (
+          SELECT bin, cur_cnt, ref_cnt,
+                 SUM(cur_cnt) OVER () AS n_cur,
+                 SUM(ref_cnt) OVER () AS n_ref,
+                 CAST(cur_cnt AS DOUBLE)/SUM(cur_cnt) OVER () AS p,
+                 CAST(ref_cnt AS DOUBLE)/SUM(ref_cnt) OVER () AS q,
+                 SUM(cur_cnt) OVER (ORDER BY bin) AS ccur,
+                 SUM(ref_cnt) OVER (ORDER BY bin) AS cref
+          FROM h
+        ),
+        ks AS (
+          SELECT MAX(ABS(CAST(ccur AS DOUBLE)/n_cur - CAST(cref AS DOUBLE)/n_ref))
+                     AS ks_stat
+          FROM t
+        ),
+        agg AS (
+          SELECT MAX(n_cur) AS n_cur,
+                 MAX(n_ref) AS n_ref,
+                 SUM((p - q) * ln(GREATEST(p, 1e-6)/GREATEST(q, 1e-6))) AS psi,
+                 SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p+q)/2)) ELSE 0 END
+                   + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p+q)/2)) ELSE 0 END)
+                     AS js,
+                 SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN
+                     POW(cur_cnt - n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
+                       / (n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref))
+                   + POW(ref_cnt - n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
+                       / (n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref))
+                   ELSE 0 END) AS chi2,
+                 SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN 1 ELSE 0 END) - 1 AS dof
+          FROM t
+        )
+        SELECT 'l_quantity' AS col,
+               agg.n_cur AS n_cur,
+               agg.n_ref AS n_ref,
+               ROUND(agg.psi, 6) AS psi,
+               ROUND(agg.js, 6) AS js_divergence,
+               ROUND(ks.ks_stat, 6) AS ks_stat,
+               ROUND(agg.chi2, 4) AS chi2_stat,
+               agg.dof AS chi2_dof,
+               CASE WHEN agg.psi < 0.1 THEN 'none'
+                    WHEN agg.psi < 0.25 THEN 'moderate'
+                    ELSE 'large' END AS psi_drift
+        FROM agg, ks
     """
-    return {}
+
+
+def _chi2_oracle() -> str:
+    return """
+        WITH li AS (
+          SELECT l_returnflag AS bin,
+                 CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 'a' ELSE 'b' END AS half
+          FROM lineitem
+        ),
+        h AS (
+          SELECT bin,
+                 SUM(CASE WHEN half='b' THEN 1 ELSE 0 END) AS cur_cnt,
+                 SUM(CASE WHEN half='a' THEN 1 ELSE 0 END) AS ref_cnt
+          FROM li GROUP BY 1
+        ),
+        t AS (
+          SELECT bin, cur_cnt, ref_cnt,
+                 SUM(cur_cnt) OVER () AS n_cur,
+                 SUM(ref_cnt) OVER () AS n_ref,
+                 CAST(cur_cnt AS DOUBLE)/SUM(cur_cnt) OVER () AS p,
+                 CAST(ref_cnt AS DOUBLE)/SUM(ref_cnt) OVER () AS q
+          FROM h
+        )
+        SELECT 'l_returnflag' AS col,
+               MAX(n_cur) AS n_cur,
+               MAX(n_ref) AS n_ref,
+               ROUND(SUM((p - q) * ln(GREATEST(p, 1e-6)/GREATEST(q, 1e-6))), 6) AS psi,
+               ROUND(SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN
+                   POW(cur_cnt - n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
+                     / (n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref))
+                 + POW(ref_cnt - n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
+                     / (n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref))
+                 ELSE 0 END), 4) AS chi2_stat,
+               SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN 1 ELSE 0 END) - 1 AS chi2_dof,
+               CASE WHEN SUM((p - q) * ln(GREATEST(p,1e-6)/GREATEST(q,1e-6))) < 0.1
+                    THEN 'none'
+                    WHEN SUM((p - q) * ln(GREATEST(p,1e-6)/GREATEST(q,1e-6))) < 0.25
+                    THEN 'moderate' ELSE 'large' END AS psi_drift
+        FROM t
+    """
+
+
+def _source_drift_oracle() -> str:
+    return """
+        WITH mid AS (
+          SELECT quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS m FROM documents
+        ),
+        h AS (
+          SELECT source AS bin,
+                 SUM(CASE WHEN doc_id > (SELECT m FROM mid) THEN 1 ELSE 0 END) AS cur_cnt,
+                 SUM(CASE WHEN doc_id <= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS ref_cnt
+          FROM documents GROUP BY 1
+        ),
+        t AS (
+          SELECT bin, cur_cnt, ref_cnt,
+                 CAST(cur_cnt AS DOUBLE)/SUM(cur_cnt) OVER () AS p,
+                 CAST(ref_cnt AS DOUBLE)/SUM(ref_cnt) OVER () AS q
+          FROM h
+        )
+        SELECT 'source' AS col,
+               ROUND(SUM((p - q) * ln(GREATEST(p, 1e-6)/GREATEST(q, 1e-6))), 6) AS psi,
+               CASE WHEN SUM((p - q) * ln(GREATEST(p,1e-6)/GREATEST(q,1e-6))) < 0.1
+                    THEN 'none'
+                    WHEN SUM((p - q) * ln(GREATEST(p,1e-6)/GREATEST(q,1e-6))) < 0.25
+                    THEN 'moderate' ELSE 'large' END AS psi_drift,
+               ROUND(SUM(
+                 CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p+q)/2)) ELSE 0 END
+               + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p+q)/2)) ELSE 0 END), 6)
+                   AS js_divergence
+        FROM t
+    """
+
+
+def _lang_id_oracle() -> str:
+    words = _WORDS
+    hits = {
+        "de": "('der','die','und','das','ist')",
+        "en": "('the','and','of','to','in')",
+        "es": "('el','la','de','que','los')",
+        "fr": "('le','la','les','et','est')",
+    }
+    h = {
+        lang: f"len(list_filter({words}, x -> x IN {m}))" for lang, m in hits.items()
+    }
+    return f"""
+        WITH d AS (
+          SELECT text,
+                 {h['de']} AS h_de, {h['en']} AS h_en,
+                 {h['es']} AS h_es, {h['fr']} AS h_fr,
+                 regexp_matches(text, '[一-鿿]') AS cjk
+          FROM documents
+        ),
+        p AS (
+          SELECT CASE WHEN cjk THEN 'zh'
+                      WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+                      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                      WHEN h_en >= h_es AND h_en >= h_fr AND h_en > h_de THEN 'en'
+                      WHEN h_es >= h_fr AND h_es > h_de AND h_es > h_en THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+          FROM d
+        )
+        SELECT lang_pred, COUNT(*) AS n_docs FROM p
+        GROUP BY lang_pred ORDER BY lang_pred
+    """

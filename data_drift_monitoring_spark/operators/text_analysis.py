@@ -112,13 +112,14 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     + length) that survives mid-document edits poorly but catches
     boilerplate-wrapped copies cheaply."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    tail_pos = F.greatest(F.length(norm) - F.lit(63), F.lit(1))
     return df.withColumn("fingerprint", F.md5(norm)).withColumn(
         "rough_key",
         F.md5(
             F.concat_ws(
                 "|",
                 F.substring(norm, 1, 64),
-                F.substring(norm, -64, 64),
+                F.substring(norm, tail_pos, F.lit(64)),
                 F.length(norm).cast("string"),
             )
         ),
