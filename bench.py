@@ -1,0 +1,280 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the flagship end-to-end validation +
+drift pipeline (the north-star workload: constraint checks + PSI/KS drift
++ per-row token equality over a deterministic synthetic sequences table),
+and prints ONE JSON line::
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "tokens_per_sec": T, ...}
+
+``--scaling`` mode: runs the flagship pipeline in two fresh subprocesses
+at local[8] (N cores) and local[32] (4N cores) over the SAME input and
+reports tokens/sec at both + scaling efficiency — the sandbox evidence
+protocol for BASELINE.json's "N → 4N executors, efficiency >= 0.8" rule
+(see BASELINE.md). ``--flagship-only`` is the subprocess entry.
+
+Usage:
+    python bench.py                 # driver mode: one JSON line to stdout
+    python bench.py --scaling       # writes BENCH.md + prints JSON summary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# flagship synthetic sequences table size (rows); ~150 tokens/row avg
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "300000"))
+BENCH_PARTS = 32  # one parquet file per logical part_id → 32 input splits
+CACHE = os.path.join(REPO, ".bench_cache")
+
+HEADLINE = [
+    "q_seq_stats",
+    "q_len_consistency",
+    "q_numeric_summary",
+    "q_quantiles",
+    "q_outlier_iqr",
+    "q_zscore_outliers",
+    "q_histogram",
+    "q_topk_values",
+    "q_distinct_counts",
+    "q_duplicates",
+    "q_referential_ok",
+    "q_referential_violations",
+    "q_missing_patterns",
+    "q_psi_quantity",
+    "q_chi2_returnflag",
+    "q_events_hourly",
+    "q_corpus_summary",
+    "q_token_counts",
+    "q_quality_scores",
+    "q_exact_dedup",
+    "q_fingerprints",
+    "q_ann_topk",
+    "q_minhash_near_dup",
+    "q_simhash_groups",
+    "q_embedding_near_dup_lsh",
+]
+
+
+def _ensure_bench_data() -> tuple[str, str]:
+    """Deterministic flagship input, generated once and cached (gitignored).
+    cur = ref_corrupted (identical to ref except p5's injected per-row token
+    corruptions) so every check family does real work."""
+    from data_drift_monitoring_spark.generator import generate_sequences
+
+    ref_dir = os.path.join(CACHE, f"seq_ref_{BENCH_ROWS}_{BENCH_PARTS}")
+    cur_dir = os.path.join(CACHE, f"seq_cur_{BENCH_ROWS}_{BENCH_PARTS}")
+    for d, variant in ((ref_dir, "ref"), (cur_dir, "ref_corrupted")):
+        marker = os.path.join(d, "_DONE")
+        if not os.path.exists(marker):
+            generate_sequences(
+                d, variant=variant, rows=BENCH_ROWS,
+                num_partitions=BENCH_PARTS, seed=42,
+            )
+            open(marker, "w").close()
+    return ref_dir, cur_dir
+
+
+def _spark(cpus: int):
+    from data_drift_monitoring_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-local-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def _force(df) -> None:
+    """Materialize fully on executors without driver collect."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _ensure_ref_artifacts(spark, ref_dir: str) -> tuple[str, str]:
+    """One-time reference-side init (the production ``init_reference`` job):
+    persisted histograms + token digests. Excluded from the timed monitoring
+    pass, exactly as a deployed baseline snapshot would be."""
+    from data_drift_monitoring_spark.operators.invariants import token_digests
+    from data_drift_monitoring_spark.plans.reference import build_ref_stats
+
+    art = os.path.join(CACHE, f"ref_artifacts_{BENCH_ROWS}_{BENCH_PARTS}")
+    stats_p = os.path.join(art, "ref_stats")
+    dig_p = os.path.join(art, "ref_digests")
+    marker = os.path.join(art, "_DONE")
+    if not os.path.exists(marker):
+        ref = spark.read.parquet(ref_dir)
+        build_ref_stats(ref).write.mode("overwrite").parquet(stats_p)
+        token_digests(ref).write.mode("overwrite").parquet(dig_p)
+        open(marker, "w").close()
+    return stats_p, dig_p
+
+
+def run_flagship(spark) -> dict:
+    """The north-star workload: the full constraint + drift + token-equality
+    monitoring pass over the synthetic sequences table (reference artifacts
+    precomputed, as in production). Returns timing + validated token count
+    (sum of n_tok over the scanned current table)."""
+    from pyspark.sql import functions as F
+
+    from data_drift_monitoring_spark.config import ALLOWED_SOURCES
+    from data_drift_monitoring_spark.plans.pipeline import (
+        build_verdicts,
+        score_partitions,
+    )
+
+    ref_dir, cur_dir = _ensure_bench_data()
+    stats_p, dig_p = _ensure_ref_artifacts(spark, ref_dir)
+    cur = spark.read.parquet(cur_dir)
+    ref_stats = spark.read.parquet(stats_p)
+    ref_digests = spark.read.parquet(dig_p)
+    dim = spark.createDataFrame([(s,) for s in ALLOWED_SOURCES], "source string")
+
+    total_tokens = cur.agg(F.sum("n_tok")).collect()[0][0]
+
+    t0 = time.perf_counter()
+    verdicts = build_verdicts(
+        cur, ref_stats=ref_stats, allowed_sources=dim, ref_digests=ref_digests
+    ).persist()
+    _force(verdicts)
+    _force(score_partitions(verdicts))
+    sec = time.perf_counter() - t0
+    verdicts.unpersist()
+    return {
+        "sec": round(sec, 3),
+        "total_tokens": int(total_tokens),
+        "rows": BENCH_ROWS,
+        "tokens_per_sec": round(total_tokens / sec, 1),
+    }
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    spark = _spark(CPUS)
+    try:
+        if "--flagship-only" in sys.argv:
+            print(json.dumps(run_flagship(spark)))
+            return
+        # warm up the JVM/codegen paths so per-query numbers are steady
+        _force(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
+        flagship = run_flagship(spark)
+        queries = run_headline(spark)
+        queries["flagship_pipeline"] = flagship["sec"]
+        total = round(sum(queries.values()), 3)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "tokens_per_sec": flagship["tokens_per_sec"],
+                    "flagship_total_tokens": flagship["total_tokens"],
+                    "flagship_rows": flagship["rows"],
+                    "cpus": CPUS,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+def run_scaling() -> None:
+    """N vs 4N evidence: same job, same input, local[8] vs local[32], each
+    in a fresh JVM. Efficiency = (tps_32 / tps_8) / 4."""
+    _ensure_bench_data()  # generate once so neither run pays for it
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+        best = None
+        for _ in range(2):  # take best-of-2 (second run has warm OS cache)
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["tokens_per_sec"] > best["tokens_per_sec"]:
+                best = r
+        results[cpus] = best
+    tps8, tps32 = results[8]["tokens_per_sec"], results[32]["tokens_per_sec"]
+    eff = round((tps32 / tps8) / 4.0, 3)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": eff,
+        "unit": "ratio",
+        "tokens_per_sec_local8": tps8,
+        "tokens_per_sec_local32": tps32,
+        "speedup": round(tps32 / tps8, 2),
+        "rows": results[32]["rows"],
+        "total_tokens": results[32]["total_tokens"],
+        "sec_local8": results[8]["sec"],
+        "sec_local32": results[32]["sec"],
+    }
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(_bench_md(summary))
+    print(json.dumps(summary))
+
+
+def _bench_md(s: dict) -> str:
+    return f"""# BENCH — flagship throughput & scaling evidence
+
+Workload: full validation + drift pipeline (`plans/pipeline.build_verdicts`
++ `score_partitions`) over the deterministic synthetic sequences table
+(`generator.generate_sequences`, {s['rows']:,} rows / {BENCH_PARTS} logical
+partitions, cur = `ref_corrupted` vs ref snapshot): per-partition column
+stats, token-length consistency, doc_id uniqueness, referential check vs
+the allowed-sources dim (broadcast anti-join), PSI/KS/JS/chi-square drift
+on `n_tok` and `source` vs broadcast reference histograms, and the per-row
+token-array-equality invariant (xxhash64 digest fast path + Arrow UDF on
+mismatches). Validated tokens = sum(n_tok) of the scanned current table =
+{s['total_tokens']:,}.
+
+Sandbox evidence protocol for BASELINE.json's two-cluster-size rule
+(N → 4N executors, efficiency >= 0.8): the identical job on identical
+input at two parallelism levels, fresh JVM each, best of 2 runs.
+
+| config | wall sec | validated tokens/sec |
+|---|---|---|
+| local[8]  (N = 8 cores, shuffle.partitions=8)   | {s['sec_local8']} | {s['tokens_per_sec_local8']:,} |
+| local[32] (4N = 32 cores, shuffle.partitions=32) | {s['sec_local32']} | {s['tokens_per_sec_local32']:,} |
+
+- speedup (4N vs N): **{s['speedup']}x**
+- scaling efficiency (speedup / 4): **{s['value']}** (target >= 0.8)
+
+Session config common to both: AQE on (coalescePartitions + skewJoin),
+Arrow enabled, broadcast threshold 64 MB, UTC, `spark.driver.memory=8g`.
+Reproduce: `python bench.py --scaling`.
+"""
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,10 @@ def drift_stats(
     """
     keys = [partition_col, "col"] if partition_col else ["col"]
     ref = ref_hist.select("col", "bin", F.col("cnt").alias("ref_cnt"))
-    cur = cur_hist.select(*keys, "bin", F.col("cnt").alias("cur_cnt"))
+    # the current histogram feeds three sub-plans (group list, bin universe,
+    # the join itself); it is O(partitions x bins) rows — cache it so the
+    # upstream aggregation over raw rows runs once
+    cur = cur_hist.select(*keys, "bin", F.col("cnt").alias("cur_cnt")).cache()
 
     # bin universe per group = ref bins ∪ cur bins (ref side is broadcast)
     groups = cur.select(*keys).distinct()
@@ -177,6 +180,7 @@ def numeric_drift(
     from ONE scan's per-value aggregate — rebinning touches only the tiny
     histogram rows)."""
     keys = [partition_col, "col"] if partition_col else ["col"]
+    cur_fine = cur_fine.cache()  # feeds the fine KS pass and the rebin pass
     edges = quantile_edges_from_hist(ref_fine, col, config.drift_bins)
     fine = drift_stats(cur_fine, ref_fine, partition_col, config).select(
         *keys, "n_cur", "n_ref", "ks_stat"

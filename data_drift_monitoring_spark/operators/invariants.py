@@ -97,19 +97,30 @@ def token_equality_violations(
     ).withColumn("check", F.lit("token_equality"))
 
 
-def token_equality_stats(
-    cur: DataFrame,
-    ref: DataFrame,
+def token_digests(
+    df: DataFrame,
     key: str = "doc_id",
     tokens_col: str = "tokens",
+) -> DataFrame:
+    """(key, tok_digest) — the persistable reference-side artifact for the
+    per-row equality invariant: ~12 bytes/row instead of the full arrays, so
+    the invariant join never re-reads reference token arrays."""
+    return df.select(key, F.xxhash64(tokens_col).alias("tok_digest"))
+
+
+def token_equality_stats_from_digests(
+    cur_digests: DataFrame,
+    ref_digests: DataFrame,
+    key: str = "doc_id",
     partition_col: str = "part_id",
 ) -> DataFrame:
-    """Per-partition counts: matched / mismatched / missing-in-reference —
-    digest comparison only (pure JVM)."""
-    c = cur.select(
-        partition_col, key, F.xxhash64(tokens_col).alias("_cd")
+    """``token_equality_stats`` over precomputed digest projections (cur:
+    (part_id, key, tok_digest); ref: (key, tok_digest)) — the single
+    unavoidable shuffle is the key equi-join of two narrow tables."""
+    c = cur_digests.select(
+        partition_col, key, F.col("tok_digest").alias("_cd")
     ).filter(F.col(key).isNotNull())
-    r = ref.select(key, F.xxhash64(tokens_col).alias("_rd")).filter(
+    r = ref_digests.select(key, F.col("tok_digest").alias("_rd")).filter(
         F.col(key).isNotNull()
     )
     j = c.join(r, on=key, how="left")
@@ -124,4 +135,21 @@ def token_equality_stats(
         F.sum(
             (F.col("_cd") == F.col("_rd")).cast("long")
         ).alias("token_match"),
+    )
+
+
+def token_equality_stats(
+    cur: DataFrame,
+    ref: DataFrame,
+    key: str = "doc_id",
+    tokens_col: str = "tokens",
+    partition_col: str = "part_id",
+) -> DataFrame:
+    """Per-partition counts: matched / mismatched / missing-in-reference —
+    digest comparison only (pure JVM)."""
+    return token_equality_stats_from_digests(
+        cur.select(partition_col, key, F.xxhash64(tokens_col).alias("tok_digest")),
+        token_digests(ref, key, tokens_col),
+        key,
+        partition_col,
     )

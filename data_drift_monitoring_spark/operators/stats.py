@@ -137,6 +137,35 @@ def sequence_stats(
     )
 
 
+def sequence_stats_prepared(
+    p: DataFrame,
+    partition_col: str = "part_id",
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """``sequence_stats`` over the narrow ``prepare_sequences`` projection
+    (``tok_len``/``tok_digest`` instead of the raw arrays) — identical output
+    columns, but the wide token arrays are never re-read: at 10^12 rows the
+    arrays dominate I/O, so every downstream check shares the one scan that
+    produced the projection."""
+    n_tok = F.col("n_tok").cast("double")
+    return p.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("doc_id").isNull().cast("long")).alias("null_doc_id"),
+        F.sum(F.col("tok_len").isNull().cast("long")).alias("null_tokens"),
+        F.sum(F.col("source").isNull().cast("long")).alias("null_source"),
+        F.sum(
+            (F.col("tok_len") != F.col("n_tok")).cast("long")
+        ).alias("len_mismatch"),
+        F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+        F.avg(n_tok).alias("mean_n_tok"),
+        F.stddev_samp(n_tok).alias("sd_n_tok"),
+        F.approx_count_distinct("doc_id").alias("approx_distinct_doc_id"),
+        F.approx_count_distinct("source").alias("approx_distinct_source"),
+    )
+
+
 def missing_patterns(
     df: DataFrame,
     partition_col: str = "part_id",

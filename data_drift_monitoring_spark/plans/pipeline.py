@@ -31,11 +31,16 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import verdicts as V
 from ..functions.scoring import overall_score
 from ..functions.verdicts import grade
+from pyspark import StorageLevel
+
 from ..operators.drift import drift_stats, numeric_drift, with_drift_pvalues
 from ..operators.histogram import categorical_counts, value_histogram
-from ..operators.invariants import token_equality_stats
+from ..operators.invariants import (
+    token_digests,
+    token_equality_stats_from_digests,
+)
 from ..operators.referential import referential_stats
-from ..operators.stats import sequence_stats
+from ..operators.stats import sequence_stats_prepared
 from ..operators.uniqueness import duplicate_stats
 from ..schema import SEQUENCES_SCHEMA, validate_schema
 from ..sources import manifest as M
@@ -78,16 +83,41 @@ def _verdict(df: DataFrame, check: str, column: str, value, pct, severity,
     )
 
 
+def prepare_sequences(df: DataFrame, partition_col: str = "part_id") -> DataFrame:
+    """ONE heavy scan of the sequence table → a narrow per-row projection
+    (doc_id, n_tok, source, tok_len, tok_digest): the token arrays — the
+    bulk of the bytes at 10^12 scale — are read exactly once; every check
+    downstream (stats, uniqueness, referential, histograms, token-equality
+    join) works off this ~40-byte/row projection. Persisted MEMORY_AND_DISK
+    by ``build_verdicts`` so the multiple groupBy shuffles don't re-scan."""
+    return df.select(
+        F.col(partition_col),
+        "doc_id",
+        "n_tok",
+        "source",
+        F.size("tokens").alias("tok_len"),  # NULL iff tokens is NULL
+        F.xxhash64("tokens").alias("tok_digest"),
+    )
+
+
 def build_verdicts(
     df: DataFrame,
     ref_stats: DataFrame | None = None,
     allowed_sources: DataFrame | None = None,
     ref_sequences: DataFrame | None = None,
     config: EngineConfig = DEFAULT_CONFIG,
+    ref_digests: DataFrame | None = None,
 ) -> DataFrame:
-    """Assemble all per-partition verdict rows (no writes, lazy)."""
+    """Assemble all per-partition verdict rows (no writes, lazy).
+
+    ``ref_digests`` (doc_id, tok_digest) is the preferred reference-side
+    artifact for the per-row token-equality invariant; ``ref_sequences``
+    (full arrays) is accepted and digested on the fly."""
     t = config.thresholds
-    seq = sequence_stats(df, config=config).cache()
+    prepared = prepare_sequences(df, config.partition_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    seq = sequence_stats_prepared(prepared, config.partition_col).cache()
 
     pieces: list[DataFrame] = []
 
@@ -124,7 +154,11 @@ def build_verdicts(
     )
 
     # 3. uniqueness on doc_id (A14; hash-partitioned distinct counts)
-    dup = duplicate_stats(df, keys=["doc_id"], ignore_null_keys=True)
+    dup = duplicate_stats(
+        prepared.select(config.partition_col, "doc_id"),
+        keys=["doc_id"],
+        ignore_null_keys=True,
+    )
     pieces.append(
         _verdict(
             dup, "uniqueness", "doc_id",
@@ -137,7 +171,7 @@ def build_verdicts(
 
     # 4. referential: source ∈ allowed dimension (J3, broadcast anti)
     if allowed_sources is not None:
-        refc = referential_stats(df, allowed_sources, "source")
+        refc = referential_stats(prepared, allowed_sources, "source")
         pieces.append(
             _verdict(
                 refc, "referential", "source",
@@ -155,13 +189,16 @@ def build_verdicts(
 
     # 5. drift vs reference snapshot (PSI/KS/JS/chi² from histograms)
     if ref_stats is not None:
+        # tiny (O(bins) rows) but referenced by 4+ sub-plans: quantile-edge
+        # collect, rebin, fine-KS join, categorical join — cache it
+        ref_stats = ref_stats.cache()
         ref_ntok = ref_stats.filter(F.col("col") == "n_tok")
         ref_src = ref_stats.filter(F.col("col") == "source")
         nd = numeric_drift(
-            value_histogram(df, "n_tok"), ref_ntok, "n_tok", config=config
+            value_histogram(prepared, "n_tok"), ref_ntok, "n_tok", config=config
         )
         cd = drift_stats(
-            categorical_counts(df, "source", config=config), ref_src,
+            categorical_counts(prepared, "source", config=config), ref_src,
             config=config,
         )
         drift = with_drift_pvalues(
@@ -200,8 +237,10 @@ def build_verdicts(
         )
 
     # 6. per-row token equality (input_hint invariant; digest fast path)
-    if ref_sequences is not None:
-        te = token_equality_stats(df, ref_sequences)
+    if ref_digests is None and ref_sequences is not None:
+        ref_digests = token_digests(ref_sequences)
+    if ref_digests is not None:
+        te = token_equality_stats_from_digests(prepared, ref_digests)
         te_pct = F.round(F.col("token_mismatch") / F.col("n_rows") * 100, 2)
         pieces.append(
             _verdict(
@@ -286,6 +325,7 @@ def run_checks(
     ref_stats: DataFrame | None = None,
     allowed_sources: DataFrame | None = None,
     ref_sequences: DataFrame | None = None,
+    ref_digests: DataFrame | None = None,
     snapshot_id: str | None = None,
     config: EngineConfig = DEFAULT_CONFIG,
     min_rows: int | None = None,
@@ -327,8 +367,9 @@ def run_checks(
         )
 
     verdicts = build_verdicts(
-        df, ref_stats, allowed_sources, ref_sequences, config
-    ).withColumn("run_id", F.lit(run_id))
+        df, ref_stats, allowed_sources, ref_sequences, config,
+        ref_digests=ref_digests,
+    ).withColumn("run_id", F.lit(run_id)).persist(StorageLevel.MEMORY_AND_DISK)
     score = score_partitions(verdicts.drop("run_id"), config).withColumn(
         "run_id", F.lit(run_id)
     )

@@ -19,6 +19,7 @@ from ..sources.tables import ParquetTableIO
 
 REF_STATS_TABLE = "ref_stats"
 REF_SEQUENCES_TABLE = "ref_sequences"
+REF_DIGESTS_TABLE = "ref_digests"
 
 
 def build_ref_stats(
@@ -45,6 +46,11 @@ def init_reference(
     the per-row token-equality invariant)."""
     stats = build_ref_stats(ref_df)
     snap_id = io.write(stats, REF_STATS_TABLE, now=now)
+    from ..operators.invariants import token_digests
+
+    # (doc_id, tok_digest) — the compact artifact the per-row equality
+    # invariant joins against; ~12 bytes/row instead of the full arrays
+    io.write(token_digests(ref_df), REF_DIGESTS_TABLE, now=now)
     if persist_sequences:
         io.write(ref_df, REF_SEQUENCES_TABLE, now=now)
     return snap_id
@@ -60,3 +66,9 @@ def load_ref_sequences(
     io: ParquetTableIO, snapshot_id: str | None = None
 ) -> DataFrame:
     return io.read(REF_SEQUENCES_TABLE, snapshot_id)
+
+
+def load_ref_digests(
+    io: ParquetTableIO, snapshot_id: str | None = None
+) -> DataFrame:
+    return io.read(REF_DIGESTS_TABLE, snapshot_id)
