@@ -94,6 +94,10 @@ def _spark(cpus: int):
         app_name=f"bench-local-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # bench files are ~50 MB/part: the default 128 MB maxPartitionBytes
+        # bin-packs 2-3 files per task and caps scan parallelism below the
+        # core count — use 32 MB so every core gets work
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
     )
 
 
@@ -143,14 +147,26 @@ def run_flagship(spark) -> dict:
 
     total_tokens = cur.agg(F.sum("n_tok")).collect()[0][0]
 
-    t0 = time.perf_counter()
-    verdicts = build_verdicts(
-        cur, ref_stats=ref_stats, allowed_sources=dim, ref_digests=ref_digests
-    ).persist()
-    _force(verdicts)
-    _force(score_partitions(verdicts))
-    sec = time.perf_counter() - t0
-    verdicts.unpersist()
+    # steady-state protocol: run the pass REPS times in-session and take the
+    # fastest — one-time JVM codegen / Python-worker startup (~15 s,
+    # data-size-independent) is amortized to zero in any long-running
+    # monitoring deployment and would otherwise swamp the scaling signal
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    sec = float("inf")
+    for _ in range(reps):
+        # drop all cached data (incl. the pipeline's internal `prepared`
+        # projection) so every rep re-does the full O(rows) work — only
+        # JVM/codegen/worker warm-up is amortized, never the computation
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        verdicts = build_verdicts(
+            cur, ref_stats=ref_stats, allowed_sources=dim,
+            ref_digests=ref_digests,
+        ).persist()
+        _force(verdicts)
+        _force(score_partitions(verdicts))
+        sec = min(sec, time.perf_counter() - t0)
+        verdicts.unpersist()
     return {
         "sec": round(sec, 3),
         "total_tokens": int(total_tokens),

@@ -128,7 +128,9 @@ def generate_sequences(
     os.makedirs(out_dir, exist_ok=True)
     if variant == "invalid":
         tbl = _partition_batch("ref", 0, 3, seed + 1, 0)
-        pq.write_table(tbl, os.path.join(out_dir, "part-0.parquet"))
+        pq.write_table(
+            tbl, os.path.join(out_dir, "part-0.parquet"), row_group_size=65536
+        )
         return out_dir
 
     # distinct seeds per variant so cur_clean is a *fresh* draw, and a
@@ -143,7 +145,11 @@ def generate_sequences(
     for p in range(num_partitions):
         n = per + (rows % num_partitions if p == num_partitions - 1 else 0)
         tbl = _partition_batch(variant, p, n, vseed, id_offset=p * per)
-        pq.write_table(tbl, os.path.join(out_dir, f"part-{p}.parquet"))
+        # small row groups → many input splits per file, so scan parallelism
+        # is not capped at one task per part_id file
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"part-{p}.parquet"), row_group_size=65536
+        )
     return out_dir
 
 

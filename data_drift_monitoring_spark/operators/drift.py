@@ -194,6 +194,146 @@ def numeric_drift(
     return fine.join(coarse, on=keys, how="inner")
 
 
+def _quantile_edges_from_counts(vals, cnts, bins: int) -> list[float]:
+    """numpy twin of ``quantile_edges_from_hist`` over (value, count) arrays."""
+    import numpy as np
+
+    order = np.argsort(vals)
+    vals, cnts = np.asarray(vals, float)[order], np.asarray(cnts, float)[order]
+    cum = np.cumsum(cnts) / cnts.sum()
+    targets = np.arange(1, bins) / bins
+    idx = np.searchsorted(cum, targets)
+    return sorted(set(vals[np.clip(idx, 0, len(vals) - 1)].tolist()))
+
+
+def _drift_from_counts(
+    cur: dict, ref: dict, numeric: bool, bins: int
+) -> dict:
+    """All drift statistics for one (partition, column) group from two
+    bin→count dicts — numpy twin of the drift_stats/numeric_drift
+    composition (same universe, clamp, zero-bin and dof conventions):
+    KS from the fine per-value ECDF (exact on bounded int domains);
+    PSI/JS/chi-square on reference-quantile buckets for numeric columns,
+    raw categories otherwise; p-values from functions.pvalues."""
+    import numpy as np
+
+    from ..functions.pvalues import chi2_sf, ks_2samp_pvalue
+
+    all_bins = sorted(set(cur) | set(ref))
+    c = np.array([float(cur.get(b, 0)) for b in all_bins])
+    r = np.array([float(ref.get(b, 0)) for b in all_bins])
+    n_cur, n_ref = c.sum(), r.sum()
+    ks = (
+        float(np.abs(np.cumsum(c) / n_cur - np.cumsum(r) / n_ref).max())
+        if n_cur > 0 and n_ref > 0
+        else float("nan")
+    )
+
+    if numeric and ref:
+        edges = _quantile_edges_from_counts(
+            [float(b) for b in ref], list(ref.values()), bins
+        )
+        vals = np.array([float(b) for b in all_bins])
+        bucket = np.searchsorted(np.array(edges), vals, side="left")
+        # searchsorted(side=left) == sum(v > e): v in (e_{i-1}, e_i] → i
+        nb = len(edges) + 1
+        c = np.bincount(bucket, weights=c, minlength=nb)
+        r = np.bincount(bucket, weights=r, minlength=nb)
+
+    p, q = c / n_cur, r / n_ref
+    p_c = np.maximum(p, PSI_EPS)
+    q_c = np.maximum(q, PSI_EPS)
+    psi = float(((p - q) * np.log(p_c / q_c)).sum())
+    mid = (p + q) / 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        js = float(
+            np.where(p > 0, 0.5 * p * np.log(p / mid), 0.0).sum()
+            + np.where(q > 0, 0.5 * q * np.log(q / mid), 0.0).sum()
+        )
+    tot = c + r
+    nz = tot > 0
+    e_cur = n_cur * tot[nz] / (n_cur + n_ref)
+    e_ref = n_ref * tot[nz] / (n_cur + n_ref)
+    chi2 = float(
+        ((c[nz] - e_cur) ** 2 / e_cur + (r[nz] - e_ref) ** 2 / e_ref).sum()
+    )
+    dof = int(nz.sum()) - 1
+    return {
+        "n_cur": int(n_cur),
+        "n_ref": int(n_ref),
+        "psi": psi,
+        "js_divergence": js,
+        "ks_stat": ks,
+        "chi2_stat": chi2,
+        "chi2_dof": dof,
+        "ks_pvalue": ks_2samp_pvalue(ks, n_cur, n_ref),
+        "chi2_pvalue": chi2_sf(chi2, dof),
+    }
+
+
+_BROADCAST_SCHEMA = (
+    "part_id int, col string, n_cur long, n_ref long, psi double, "
+    "js_divergence double, ks_stat double, chi2_stat double, chi2_dof long, "
+    "ks_pvalue double, chi2_pvalue double, psi_drift string, "
+    "ks_significant boolean, chi2_significant boolean, drift_detected boolean"
+)
+
+
+def drift_stats_broadcast(
+    cur_hist: DataFrame,
+    ref_hist: DataFrame,
+    numeric_cols: frozenset | set = frozenset(),
+    partition_col: str = "part_id",
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Single-stage drift: the reference histograms (tiny by construction)
+    are collected once and BROADCAST to executors; every statistic AND
+    p-value for a (partition, column) group is computed in one Arrow batch
+    by ``applyInPandas`` over that group's histogram rows. Replaces the
+    drift_stats→rebin→numeric_drift→with_drift_pvalues composition (~10
+    stages of windows/joins) with histogram-agg → one grouped UDF — the
+    shape SURVEY.md §2.10 mandates, and the one that scales: shuffled bytes
+    are O(partitions × bins), never O(rows)."""
+    import pandas as pd
+
+    spark = cur_hist.sparkSession
+    ref_map: dict[str, dict] = {}
+    for row in ref_hist.select("col", "bin", "cnt").collect():
+        ref_map.setdefault(row["col"], {})[row["bin"]] = (
+            ref_map.get(row["col"], {}).get(row["bin"], 0) + row["cnt"]
+        )
+    bc = spark.sparkContext.broadcast(ref_map)
+    t = config.thresholds
+    bins = config.drift_bins
+    numeric_cols = set(numeric_cols)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id, col = key if len(key) == 2 else (None, key[0])
+        cur = dict(zip(pdf["bin"], pdf["cnt"]))
+        s = _drift_from_counts(
+            cur, bc.value.get(col, {}), col in numeric_cols, bins
+        )
+        s["part_id"] = part_id
+        s["col"] = col
+        s["psi_drift"] = (
+            "none"
+            if s["psi"] < t.psi_moderate
+            else ("moderate" if s["psi"] < t.psi_large else "large")
+        )
+        s["ks_significant"] = bool(s["ks_pvalue"] < t.ks_alpha)
+        s["chi2_significant"] = bool(s["chi2_pvalue"] < t.chi2_alpha)
+        s["drift_detected"] = bool(
+            s["psi"] >= t.psi_moderate
+            or s["ks_significant"]
+            or s["chi2_significant"]
+        )
+        return pd.DataFrame([s])
+
+    keys = [partition_col, "col"] if partition_col else ["col"]
+    out = cur_hist.groupBy(*keys).applyInPandas(fn, _BROADCAST_SCHEMA)
+    return out if partition_col else out.drop("part_id")
+
+
 def with_drift_pvalues(
     drift: DataFrame, config: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

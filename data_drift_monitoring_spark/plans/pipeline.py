@@ -33,13 +33,12 @@ from ..functions.scoring import overall_score
 from ..functions.verdicts import grade
 from pyspark import StorageLevel
 
-from ..operators.drift import drift_stats, numeric_drift, with_drift_pvalues
+from ..operators.drift import drift_stats_broadcast
 from ..operators.histogram import categorical_counts, value_histogram
 from ..operators.invariants import (
     token_digests,
     token_equality_stats_from_digests,
 )
-from ..operators.referential import referential_stats
 from ..operators.stats import sequence_stats_prepared
 from ..operators.uniqueness import duplicate_stats
 from ..schema import SEQUENCES_SCHEMA, validate_schema
@@ -117,7 +116,13 @@ def build_verdicts(
     prepared = prepare_sequences(df, config.partition_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # materialize the projection BEFORE assembling the fan-out: the verdict
+    # union is one job whose first-level stages would otherwise start
+    # concurrently and each recompute the heavy token-array scan while the
+    # cache is still cold (a cache-fill race duplicating the dominant cost)
+    prepared.count()
     seq = sequence_stats_prepared(prepared, config.partition_col).cache()
+    seq.count()
 
     pieces: list[DataFrame] = []
 
@@ -169,9 +174,39 @@ def build_verdicts(
         )
     )
 
-    # 4. referential: source ∈ allowed dimension (J3, broadcast anti)
+    # per-partition source counts: computed ONCE (salted two-level agg),
+    # shared by the referential check and the drift comparison — shuffled
+    # bytes are O(partitions x sources), never O(rows)
+    src_counts = (
+        categorical_counts(prepared, "source", config=config).cache()
+        if (allowed_sources is not None or ref_stats is not None)
+        else None
+    )
+
+    # 4. referential: source ∈ allowed dimension (J3). The dimension is tiny
+    #    by definition, so it collapses to an isin over the histogram bins;
+    #    violations = n_rows - matched (nulls therefore count as violations,
+    #    same as the anti-join in operators.referential).
     if allowed_sources is not None:
-        refc = referential_stats(prepared, allowed_sources, "source")
+        allowed = [
+            r["source"]
+            for r in allowed_sources.select("source").distinct().collect()
+        ]
+        matched = (
+            src_counts.filter(F.col("bin").isin(allowed))
+            .groupBy(config.partition_col)
+            .agg(F.sum("cnt").alias("_matched"))
+        )
+        refc = seq.join(matched, on=config.partition_col, how="left").select(
+            config.partition_col,
+            "n_rows",
+            (F.col("n_rows") - F.coalesce(F.col("_matched"), F.lit(0))).alias(
+                "violations"
+            ),
+        ).withColumn(
+            "violation_pct",
+            F.round(F.col("violations") / F.col("n_rows") * 100, 2),
+        )
         pieces.append(
             _verdict(
                 refc, "referential", "source",
@@ -187,22 +222,14 @@ def build_verdicts(
             )
         )
 
-    # 5. drift vs reference snapshot (PSI/KS/JS/chi² from histograms)
+    # 5. drift vs reference snapshot (PSI/KS/JS/chi² from histograms):
+    #    per-partition histograms from the cached projection, then ONE
+    #    applyInPandas stage against the broadcast reference histograms
     if ref_stats is not None:
-        # tiny (O(bins) rows) but referenced by 4+ sub-plans: quantile-edge
-        # collect, rebin, fine-KS join, categorical join — cache it
-        ref_stats = ref_stats.cache()
-        ref_ntok = ref_stats.filter(F.col("col") == "n_tok")
-        ref_src = ref_stats.filter(F.col("col") == "source")
-        nd = numeric_drift(
-            value_histogram(prepared, "n_tok"), ref_ntok, "n_tok", config=config
-        )
-        cd = drift_stats(
-            categorical_counts(prepared, "source", config=config), ref_src,
-            config=config,
-        )
-        drift = with_drift_pvalues(
-            nd.unionByName(cd.select(nd.columns)), config
+        fine = value_histogram(prepared, "n_tok").unionByName(src_counts)
+        drift = drift_stats_broadcast(
+            fine, ref_stats, numeric_cols={"n_tok"},
+            partition_col=config.partition_col, config=config,
         )
         pieces.append(
             drift.select(

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the engine's large joins are digest/key equi-joins that need no
+        # sort order — shuffled-hash beats sort-merge (no per-side sorts)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -130,3 +130,42 @@ def test_salted_categorical_counts_match_plain(spark, cur_drifted_df):
         for r in categorical_counts(cur_drifted_df, "source", salted=False).collect()
     }
     assert a == b
+
+
+def test_broadcast_drift_matches_composition(spark, ref_df, cur_drifted_df):
+    """drift_stats_broadcast (one applyInPandas stage) must reproduce the
+    drift_stats→rebin→numeric_drift→with_drift_pvalues composition exactly:
+    same universe/clamp/dof conventions, same p-values."""
+    from data_drift_monitoring_spark.operators.drift import drift_stats_broadcast
+    from data_drift_monitoring_spark.plans.reference import build_ref_stats
+
+    ref_stats = build_ref_stats(ref_df).cache()
+    nh = value_histogram(cur_drifted_df, "n_tok")
+    ch = categorical_counts(cur_drifted_df, "source")
+
+    nd = numeric_drift(nh, ref_stats.filter(F.col("col") == "n_tok"), "n_tok")
+    cd = drift_stats(ch, ref_stats.filter(F.col("col") == "source"))
+    composed = {
+        (r["part_id"], r["col"]): r
+        for r in with_drift_pvalues(nd.unionByName(cd.select(nd.columns)))
+        .collect()
+    }
+
+    grouped = {
+        (r["part_id"], r["col"]): r
+        for r in drift_stats_broadcast(
+            nh.unionByName(ch), ref_stats, numeric_cols={"n_tok"}
+        ).collect()
+    }
+
+    assert set(grouped) == set(composed)
+    for k, g in grouped.items():
+        c = composed[k]
+        for f in ("n_cur", "n_ref", "chi2_dof"):
+            assert g[f] == c[f], (k, f, g[f], c[f])
+        for f in ("psi", "js_divergence", "ks_stat", "chi2_stat",
+                  "ks_pvalue", "chi2_pvalue"):
+            assert g[f] == pytest.approx(c[f], rel=1e-9, abs=1e-12), (k, f)
+        for f in ("psi_drift", "ks_significant", "chi2_significant",
+                  "drift_detected"):
+            assert g[f] == c[f], (k, f)
