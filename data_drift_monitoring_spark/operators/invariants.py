@@ -123,7 +123,7 @@ def token_equality_stats_from_digests(
     r = ref_digests.select(key, F.col("tok_digest").alias("_rd")).filter(
         F.col(key).isNotNull()
     )
-    j = c.join(r, on=key, how="left")
+    j = c.join(r.hint("shuffle_hash"), on=key, how="left")
     return j.groupBy(partition_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("_rd").isNull().cast("long")).alias("missing_in_ref"),
@@ -135,6 +135,62 @@ def token_equality_stats_from_digests(
         F.sum(
             (F.col("_cd") == F.col("_rd")).cast("long")
         ).alias("token_match"),
+    )
+
+
+def uniqueness_and_token_equality(
+    cur_digests: DataFrame,
+    ref_digests: DataFrame,
+    key: str = "doc_id",
+    partition_col: str = "part_id",
+) -> DataFrame:
+    """Both key-uniqueness AND per-row token equality from ONE ``key``-hash
+    shuffle: the left join's HashPartitioning(key) already satisfies the
+    clustering the (partition, key) aggregation needs, so Catalyst inserts
+    no second exchange for the current side — at 10^12 rows this halves the
+    row-volume shuffles of the verdict pipeline. Null keys are excluded
+    (they are a missing-value violation, not a duplicate group — see
+    ``uniqueness.duplicate_stats``).
+
+    Output per partition: n_rows, duplicate_rows, duplicate_groups,
+    duplicate_pct, unique_keys, token_mismatch, token_match, missing_in_ref.
+    """
+    c = cur_digests.select(
+        partition_col, key, F.col("tok_digest").alias("_cd")
+    ).filter(F.col(key).isNotNull())
+    r = ref_digests.select(key, F.col("tok_digest").alias("_rd")).filter(
+        F.col(key).isNotNull()
+    )
+    # digest equi-join needs no sort order: force shuffled-hash (the
+    # planner still picks SortMergeJoin here otherwise, paying two
+    # O(rows log rows) sorts)
+    j = c.join(r.hint("shuffle_hash"), on=key, how="left")
+    per_key = j.groupBy(partition_col, key).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            (F.col("_rd").isNotNull() & (F.col("_cd") != F.col("_rd"))).cast(
+                "long"
+            )
+        ).alias("_mm"),
+        F.sum(F.col("_rd").isNull().cast("long")).alias("_mi"),
+        F.sum((F.col("_cd") == F.col("_rd")).cast("long")).alias("_ma"),
+    )
+    return per_key.groupBy(partition_col).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0)).alias(
+            "duplicate_rows"
+        ),
+        F.sum((F.col("_n") > 1).cast("long")).alias("duplicate_groups"),
+        F.round(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0))
+            / F.sum("_n")
+            * 100,
+            2,
+        ).alias("duplicate_pct"),
+        F.count(F.lit(1)).alias("unique_keys"),
+        F.sum("_mm").alias("token_mismatch"),
+        F.sum("_ma").alias("token_match"),
+        F.sum("_mi").alias("missing_in_ref"),
     )
 
 

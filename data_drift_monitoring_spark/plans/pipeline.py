@@ -37,7 +37,7 @@ from ..operators.drift import drift_stats_broadcast
 from ..operators.histogram import categorical_counts, value_histogram
 from ..operators.invariants import (
     token_digests,
-    token_equality_stats_from_digests,
+    uniqueness_and_token_equality,
 )
 from ..operators.stats import sequence_stats_prepared
 from ..operators.uniqueness import duplicate_stats
@@ -158,12 +158,23 @@ def build_verdicts(
         )
     )
 
-    # 3. uniqueness on doc_id (A14; hash-partitioned distinct counts)
-    dup = duplicate_stats(
-        prepared.select(config.partition_col, "doc_id"),
-        keys=["doc_id"],
-        ignore_null_keys=True,
-    )
+    # 3. uniqueness on doc_id (A14; hash-partitioned distinct counts) — and,
+    #    when reference digests exist, the per-row token-equality invariant
+    #    from the SAME doc_id shuffle (one exchange for both checks)
+    if ref_digests is None and ref_sequences is not None:
+        ref_digests = token_digests(ref_sequences)
+    te = None
+    if ref_digests is not None:
+        dup = uniqueness_and_token_equality(
+            prepared, ref_digests, partition_col=config.partition_col
+        ).cache()
+        te = dup
+    else:
+        dup = duplicate_stats(
+            prepared.select(config.partition_col, "doc_id"),
+            keys=["doc_id"],
+            ignore_null_keys=True,
+        )
     pieces.append(
         _verdict(
             dup, "uniqueness", "doc_id",
@@ -263,11 +274,9 @@ def build_verdicts(
             )
         )
 
-    # 6. per-row token equality (input_hint invariant; digest fast path)
-    if ref_digests is None and ref_sequences is not None:
-        ref_digests = token_digests(ref_sequences)
-    if ref_digests is not None:
-        te = token_equality_stats_from_digests(prepared, ref_digests)
+    # 6. per-row token equality (input_hint invariant; digest fast path) —
+    #    already computed in the shared doc_id pass above
+    if te is not None:
         te_pct = F.round(F.col("token_mismatch") / F.col("n_rows") * 100, 2)
         pieces.append(
             _verdict(

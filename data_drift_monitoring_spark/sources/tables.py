@@ -94,6 +94,9 @@ class ParquetTableIO:
         )
 
     def exists(self, table: str) -> bool:
+        """True if the table has any versioned snapshot OR appended data."""
+        if self.list_snapshots(table):
+            return True
         d = os.path.join(self._table_dir(table), "data")
         return os.path.isdir(d) and any(
             f.endswith(".parquet") for f in os.listdir(d)
