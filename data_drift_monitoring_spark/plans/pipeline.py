@@ -40,7 +40,7 @@ from ..operators.invariants import (
     uniqueness_and_token_equality,
 )
 from ..operators.stats import sequence_stats_prepared
-from ..operators.uniqueness import duplicate_stats
+from ..operators.uniqueness import duplicate_stats, duplicate_violations
 from ..schema import SEQUENCES_SCHEMA, validate_schema
 from ..sources import manifest as M
 from ..sources.tables import ParquetTableIO
@@ -296,6 +296,111 @@ def build_verdicts(
     return out
 
 
+def build_violations(
+    df: DataFrame,
+    allowed_sources: DataFrame | None = None,
+    ref_digests: DataFrame | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Row-level violation export (north_rule: "violation rows"): one row
+    per offending sequence with a check tag and a human-readable detail.
+    Unified schema: (part_id, doc_id, check, detail).
+
+    Separate from the verdict pass by design — verdicts are the always-on
+    cheap aggregate; violations re-scan only when a consumer wants the
+    offending rows (and at cluster scale would be partition-pruned to the
+    partitions whose verdicts failed)."""
+    part = config.partition_col
+    p = prepare_sequences(df, part)
+
+    def rows(src: DataFrame, check: str, detail) -> DataFrame:
+        return src.select(
+            F.col(part),
+            F.col("doc_id"),
+            F.lit(check).alias("check"),
+            detail.cast("string").alias("detail"),
+        )
+
+    pieces = [
+        rows(
+            p.filter(F.col("doc_id").isNull()),
+            "missing_values",
+            F.lit("null doc_id"),
+        ),
+        rows(
+            p.filter(F.col("tok_len").isNull()),
+            "missing_values",
+            F.lit("null tokens"),
+        ),
+        rows(
+            p.filter(
+                F.col("tok_len").isNotNull()
+                & (F.col("tok_len") != F.col("n_tok"))
+            ),
+            "length_consistency",
+            F.concat(
+                F.lit("declared n_tok="),
+                F.col("n_tok"),
+                F.lit(" actual="),
+                F.col("tok_len"),
+            ),
+        ),
+    ]
+
+    dup = duplicate_violations(
+        p.select(part, "doc_id").filter(F.col("doc_id").isNotNull()),
+        keys=["doc_id"],
+        partition_col=part,
+    )
+    pieces.append(
+        rows(
+            dup,
+            "uniqueness",
+            F.concat(
+                F.lit("group_size="),
+                F.col("group_size"),
+                F.lit(" occurrence="),
+                F.col("occurrence"),
+            ),
+        )
+    )
+
+    if allowed_sources is not None:
+        bad = p.join(
+            F.broadcast(
+                allowed_sources.select("source").distinct()
+            ),
+            on="source",
+            how="left_anti",
+        )
+        pieces.append(
+            rows(
+                bad,
+                "referential",
+                F.concat(F.lit("unknown source="), F.coalesce(
+                    F.col("source"), F.lit("NULL"))),
+            )
+        )
+
+    if ref_digests is not None:
+        r = ref_digests.select(
+            "doc_id", F.col("tok_digest").alias("_rd")
+        ).filter(F.col("doc_id").isNotNull())
+        mism = (
+            p.filter(F.col("doc_id").isNotNull())
+            .join(r.hint("shuffle_hash"), on="doc_id", how="inner")
+            .filter(F.col("tok_digest") != F.col("_rd"))
+        )
+        pieces.append(
+            rows(mism, "token_equality", F.lit("token digest mismatch"))
+        )
+
+    out = pieces[0]
+    for x in pieces[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 def score_partitions(
     verdicts: DataFrame, config: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -366,6 +471,7 @@ def run_checks(
     config: EngineConfig = DEFAULT_CONFIG,
     min_rows: int | None = None,
     now: datetime | None = None,
+    export_violations: bool = True,
 ) -> RunResult:
     """Full pipeline with schema gate, resume pruning, and persistence.
 
@@ -413,6 +519,15 @@ def run_checks(
     if io is not None:
         io.append(verdicts, RESULTS_TABLE)
         io.append(score, RESULTS_TABLE + "_score")
+        if export_violations:
+            if ref_digests is None and ref_sequences is not None:
+                ref_digests = token_digests(ref_sequences)
+            io.append(
+                build_violations(
+                    df, allowed_sources, ref_digests, config
+                ).withColumn("run_id", F.lit(run_id)),
+                VIOLATIONS_TABLE,
+            )
         digests = M.stats_digests(
             io.read_appended(RESULTS_TABLE).filter(F.col("run_id") == run_id)
         )

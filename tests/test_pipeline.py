@@ -133,3 +133,49 @@ def test_digest_idempotency(spark, warehouse, cur_drifted_df, allowed_sources_df
     for r in rows:
         by_run.setdefault(r["run_id"], {})[r["part_id"]] = r["stats_digest"]
     assert by_run["run_dg_a"] == by_run["run_dg_b"]
+
+
+def test_violation_rows_match_verdict_counts(
+    spark, cur_drifted_df, ref_df, allowed_sources_df
+):
+    """Row-level violations (build_violations) must reconcile with the
+    aggregate verdict values for every check family."""
+    from data_drift_monitoring_spark.operators.invariants import token_digests
+    from data_drift_monitoring_spark.plans.pipeline import (
+        build_verdicts,
+        build_violations,
+    )
+
+    rd = token_digests(ref_df)
+    verd = {
+        (r["part_id"], r["check"], r["column"]): r["value"]
+        for r in build_verdicts(
+            cur_drifted_df, allowed_sources=allowed_sources_df, ref_digests=rd
+        ).collect()
+    }
+    viol = build_violations(
+        cur_drifted_df, allowed_sources=allowed_sources_df, ref_digests=rd
+    )
+    counts = {
+        (r["part_id"], r["check"]): r["n"]
+        for r in viol.groupBy("part_id", "check")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    parts = sorted({k[0] for k in verd})
+    for p in parts:
+        assert counts.get((p, "missing_values"), 0) == verd[
+            (p, "missing_values", "doc_id")
+        ] + verd[(p, "missing_values", "tokens")]
+        assert counts.get((p, "length_consistency"), 0) == verd[
+            (p, "length_consistency", "tokens")
+        ]
+        assert counts.get((p, "uniqueness"), 0) == verd[
+            (p, "uniqueness", "doc_id")
+        ]
+        assert counts.get((p, "referential"), 0) == verd[
+            (p, "referential", "source")
+        ]
+        assert counts.get((p, "token_equality"), 0) == verd[
+            (p, "token_equality", "tokens")
+        ]
