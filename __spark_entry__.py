@@ -485,7 +485,50 @@ def q_embedding_pairs_exact(spark, sf_dir):
     )
 
 
+def q_outlier_clip(spark, sf_dir):
+    """Winsorize (P5, outliers.py:376-396): clip to IQR bounds, compare
+    clipped vs raw mean."""
+    from data_drift_monitoring_spark.operators.outliers import clip_outliers
+
+    li = _read(spark, sf_dir, "lineitem")
+    q1, q3 = li.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.25)),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.75)),
+    ).collect()[0]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    # clip_outliers replaces the column in place; keep the raw copy first
+    c = clip_outliers(
+        li.withColumn("_raw", F.col("l_extendedprice")),
+        "l_extendedprice", lo, hi,
+    )
+    return c.agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_clipped"),
+        F.round(F.avg("_raw"), 4).alias("avg_raw"),
+        F.sum(
+            ((F.col("_raw") < F.lit(lo)) | (F.col("_raw") > F.lit(hi))).cast(
+                "long"
+            )
+        ).alias("n_clipped"),
+    )
+
+
 # -- engine-only queries (no SQL oracle → driver rows-only check) -----------
+
+
+def q_isolation_forest(spark, sf_dir):
+    """numpy isolation forest (outliers.py:237-277 equivalent): per-flag
+    anomaly fractions over (l_quantity, l_extendedprice, l_discount)."""
+    from data_drift_monitoring_spark.operators.isolation_forest import (
+        anomaly_stats,
+        fit_isolation_forest,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "part_id", F.pmod(F.col("l_orderkey"), F.lit(4)).cast("int")
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    model = fit_isolation_forest(li, cols, n_trees=50, max_sample=20000)
+    return anomaly_stats(li, model).orderBy("part_id")
 
 def q_minhash_near_dup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
@@ -550,7 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard_self": q_ngram_jaccard_self,
         "q_ann_topk": q_ann_topk,
         "q_embedding_pairs_exact": q_embedding_pairs_exact,
+        "q_outlier_clip": q_outlier_clip,
         # engine-only (rows-only check)
+        "q_isolation_forest": q_isolation_forest,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_groups": q_simhash_groups,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -714,6 +759,21 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN rm > 1 THEN 1 ELSE 0 END) AS rows_multiple_missing,
                    MAX(rm) AS max_missing_in_row
             FROM r
+        """,
+        "q_outlier_clip": """
+            WITH b AS (
+              SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                     quantile_cont(l_extendedprice, 0.75) AS q3
+              FROM lineitem
+            ), bounds AS (
+              SELECT q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM b
+            )
+            SELECT ROUND(AVG(GREATEST(lo, LEAST(hi, l_extendedprice))), 4)
+                       AS avg_clipped,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_raw,
+                   SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                            THEN 1 ELSE 0 END) AS n_clipped
+            FROM lineitem, bounds
         """,
         "q_psi_quantity": _psi_oracle(),
         "q_chi2_returnflag": _chi2_oracle(),
