@@ -93,11 +93,24 @@ def _spark(cpus: int):
     return get_spark(
         app_name=f"bench-local-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
-        # bench files are ~50 MB/part: the default 128 MB maxPartitionBytes
-        # bin-packs 2-3 files per task and caps scan parallelism below the
-        # core count — use 32 MB so every core gets work
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+        # floor the shuffle partition count: partitions bound per-task state
+        # (e.g. the shuffled-hash build side), so they must track DATA size,
+        # not core count — at local[1] a single 40M-entry hash map OOMs.
+        # AQE coalesces the excess for the small stages.
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={
+            # bench files are ~50 MB/part: the default 128 MB
+            # maxPartitionBytes bin-packs 2-3 files per task and caps scan
+            # parallelism below the core count — 32 MB gives every core work
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            # honest N-core emulation: without this, a local[1] JVM still
+            # runs GC on all 32 host cores, deflating the N-core baseline
+            # and understating the measured N->4N scaling
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ParallelGCThreads={cpus} "
+                f"-XX:ConcGCThreads={max(1, cpus // 4)}"
+            ),
+        },
     )
 
 
@@ -264,8 +277,18 @@ def run_scaling() -> None:
                 [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
-            line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
+            lines = [
+                ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")
+            ]
+            if not lines:
+                sys.stderr.write(
+                    f"local[{cpus}] run produced no JSON "
+                    f"(rc={p.returncode}); stderr tail:\n"
+                    + "\n".join(p.stderr.strip().splitlines()[-15:]) + "\n"
+                )
+                raise RuntimeError(f"scaling subprocess failed at local[{cpus}]")
+            r = json.loads(lines[-1])
             if best is None or r["tokens_per_sec"] > best["tokens_per_sec"]:
                 best = r
         results[cpus] = best
@@ -326,8 +349,8 @@ scaling rather than the sandbox's bus.
 
 | config | wall sec | validated tokens/sec |
 |---|---|---|
-| local[{n}]  (N = {n} cores, shuffle.partitions={n})   | {s['sec_n']} | {s['tokens_per_sec_n']:,} |
-| local[{n4}] (4N = {n4} cores, shuffle.partitions={n4}) | {s['sec_4n']} | {s['tokens_per_sec_4n']:,} |
+| local[{n}]  (N = {n} cores, shuffle.partitions={max(n, 16)})   | {s['sec_n']} | {s['tokens_per_sec_n']:,} |
+| local[{n4}] (4N = {n4} cores, shuffle.partitions={max(n4, 16)}) | {s['sec_4n']} | {s['tokens_per_sec_4n']:,} |
 
 - speedup (4N vs N): **{s['speedup']}x**
 - scaling efficiency (speedup / 4): **{s['value']}** (target >= 0.8)
@@ -335,7 +358,11 @@ scaling rather than the sandbox's bus.
 Session config common to both: AQE on (coalescePartitions + skewJoin),
 Arrow enabled, broadcast threshold 64 MB, shuffled-hash joins preferred,
 UTC, `spark.driver.memory=8g`, maxPartitionBytes=32MB (scan splits >=
-core count). Reproduce: `python bench.py --scaling`.
+core count), shuffle.partitions=max(cores,16) (per-task join-build state
+bounded by DATA, not core count), and `-XX:ParallelGCThreads=<cores>`
+(without which a local[1] JVM still garbage-collects on all 32 host
+cores, silently deflating the N-core baseline).
+Reproduce: `python bench.py --scaling`.
 """
 
 
