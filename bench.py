@@ -34,8 +34,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# flagship synthetic sequences table size (rows); ~150 tokens/row avg
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "300000"))
+# flagship synthetic sequences table size (rows); ~143 tokens/row avg.
+# 1M rows keeps the default run under ~2 min while being large enough that
+# the pipeline's O(rows) work dominates its fixed per-job latency.
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
 BENCH_PARTS = 32  # one parquet file per logical part_id → 32 input splits
 CACHE = os.path.join(REPO, ".bench_cache")
 
