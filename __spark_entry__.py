@@ -551,6 +551,37 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return out.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed approximate top-k (the scale path behind q_ann_topk's
+    exact baseline): driver k-means on a sample, cell-pruned probe."""
+    from data_drift_monitoring_spark.operators import similarity as _s
+
+    e = _read(spark, sf_dir, "embeddings")
+    cent = _s.kmeans_centroids(e, n_cells=8, sample_fraction=0.5)
+    idx = _s.ivf_index(e, cent)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = _s.ivf_topk(idx, q, cent, k=3, nprobe=3)
+    return out.select("query_id", "rank", "vec_id").orderBy("query_id", "rank")
+
+
+def q_report_json(spark, sf_dir):
+    """Reference-shaped JSON rollup (S6): one JSON document per partition
+    from the verdict rows."""
+    from data_drift_monitoring_spark.plans.pipeline import (
+        build_verdicts,
+        report_json,
+    )
+
+    seq = _sequences_view(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [(f"src{i}",) for i in range(20)], "source string"
+    )
+    v = build_verdicts(seq, ref_stats=None, allowed_sources=dim)
+    return report_json(v, "gate_run").orderBy("part_id")
+
+
 def q_seq_pipeline_verdicts(spark, sf_dir):
     """Full validation pipeline over the derived sequence view (engine-only:
     verdict text depends on pandas-UDF drift p-values and token columns)."""
@@ -596,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outlier_clip": q_outlier_clip,
         # engine-only (rows-only check)
         "q_isolation_forest": q_isolation_forest,
+        "q_ann_ivf": q_ann_ivf,
+        "q_report_json": q_report_json,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_groups": q_simhash_groups,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
