@@ -95,11 +95,13 @@ def _spark(cpus: int):
     return get_spark(
         app_name=f"bench-local-{cpus}",
         master=f"local[{cpus}]",
-        # floor the shuffle partition count: partitions bound per-task state
-        # (e.g. the shuffled-hash build side), so they must track DATA size,
-        # not core count — at local[1] a single 40M-entry hash map OOMs.
-        # AQE coalesces the excess for the small stages.
-        shuffle_partitions=max(cpus, 16),
+        # shuffle partitions bound per-task state (the shuffled-hash build
+        # side) AND its concurrency is the core count, so they must track
+        # data volume x parallelism: one 40M-entry map OOMs at local[1]
+        # with 1 partition, and 16 concurrent 2.5M-entry maps OOM at
+        # local[16] with 16. 4x cores (floor 32) keeps each build small;
+        # AQE coalesces the excess for small stages.
+        shuffle_partitions=max(4 * cpus, 32),
         extra_conf={
             # bench files are ~50 MB/part: the default 128 MB
             # maxPartitionBytes bin-packs 2-3 files per task and caps scan
@@ -113,7 +115,15 @@ def _spark(cpus: int):
             # and understating the measured N->4N scaling
             "spark.driver.extraJavaOptions": (
                 f"-XX:ParallelGCThreads={cpus} "
-                f"-XX:ConcGCThreads={max(1, cpus // 4)}"
+                f"-XX:ConcGCThreads={max(1, cpus // 4)} "
+                # JVM unified-logging warnings (gc,alloc) print to stdout
+                # and would corrupt the one-JSON-line bench contract
+                "-Xlog:disable"
+            ),
+            # 40M-row runs hold the cached projection + concurrent
+            # shuffled-hash builds; the 8g library default is too tight
+            "spark.driver.memory": os.environ.get(
+                "SPARK_DRIVER_MEMORY", "24g"
             ),
         },
     )
@@ -362,9 +372,10 @@ scaling rather than the sandbox's bus.
 
 Session config common to both: AQE on (coalescePartitions + skewJoin),
 Arrow enabled, broadcast threshold 64 MB, shuffled-hash joins preferred,
-UTC, `spark.driver.memory=8g`, maxPartitionBytes=32MB (scan splits >=
-core count), shuffle.partitions=max(cores,16) (per-task join-build state
-bounded by DATA, not core count), and `-XX:ParallelGCThreads=<cores>`
+UTC, `spark.driver.memory=24g`, maxPartitionBytes=32MB (scan splits >=
+core count), shuffle.partitions=max(4*cores,32) (per-task shuffled-hash
+build state is bounded by data volume x concurrency, not core count),
+uncompressed columnar cache, and `-XX:ParallelGCThreads=<cores>`
 (without which a local[1] JVM still garbage-collects on all 32 host
 cores, silently deflating the N-core baseline).
 Reproduce: `python bench.py --scaling`.
