@@ -96,12 +96,15 @@ def _spark(cpus: int):
         app_name=f"bench-local-{cpus}",
         master=f"local[{cpus}]",
         # shuffle partitions bound per-task state (the shuffled-hash build
-        # side) AND its concurrency is the core count, so they must track
-        # data volume x parallelism: one 40M-entry map OOMs at local[1]
-        # with 1 partition, and 16 concurrent 2.5M-entry maps OOM at
-        # local[16] with 16. 4x cores (floor 32) keeps each build small;
-        # AQE coalesces the excess for small stages.
-        shuffle_partitions=max(4 * cpus, 32),
+        # side) whose concurrency is the core count, so they must track
+        # data volume: one 40M-entry map OOMs at 1 partition, and 16
+        # concurrent 2.5M-entry maps OOM an 8g heap — but over-partitioning
+        # small runs (128 partitions for 1M rows) nearly doubles wall time
+        # in per-task overhead. ~300k rows per partition, floored at 32,
+        # capped at 4x cores; AQE coalesces the excess for small stages.
+        shuffle_partitions=min(
+            max(32, 4 * cpus), max(32, BENCH_ROWS // 300_000)
+        ),
         extra_conf={
             # bench files are ~50 MB/part: the default 128 MB
             # maxPartitionBytes bin-packs 2-3 files per task and caps scan
