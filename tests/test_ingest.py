@@ -100,3 +100,38 @@ def test_content_digest_deterministic_and_order_insensitive(spark, small_df):
     d2 = content_digest(small_df.orderBy(F.desc("id")))
     assert d1 == d2 and len(d1) == 16
     assert content_digest(small_df.limit(39)) != d1
+
+
+def test_compare_metadata_against_baseline(spark, small_df):
+    """versioning.py:271-364 parity: row/column/schema/dtype differences
+    plus the missing-rate extension."""
+    from pyspark.sql import functions as F
+
+    from data_drift_monitoring_spark.plans.compare import (
+        compare_metadata,
+        no_baseline,
+    )
+
+    base = dataset_metadata(small_df)
+    cur_df = (
+        small_df.limit(30)
+        .withColumn("name", F.when(F.col("id") % 3 == 0, None).otherwise(F.col("name")))
+        .withColumn("age", F.col("age").cast("double"))
+        .withColumnRenamed("department", "dept")
+    )
+    cur = dataset_metadata(cur_df)
+    rep = compare_metadata(cur, base, baseline_version="v1")
+    fields = {d["field"]: d for d in rep["differences"]}
+
+    assert rep["has_baseline"] and rep["baseline_version"] == "v1"
+    assert fields["rows"]["change"] == -10
+    assert fields["rows"]["change_percentage"] == -25.0
+    assert fields["column_schema"]["missing_columns"] == ["department"]
+    assert fields["column_schema"]["extra_columns"] == ["dept"]
+    dt = {c["column"]: c for c in fields["data_types"]["changes"]}
+    assert dt["age"]["baseline_dtype"] == "int"
+    assert dt["age"]["current_dtype"] == "double"
+    mv = {c["column"]: c for c in fields["missing_value_rates"]["changes"]}
+    assert mv["name"]["baseline_pct"] == 0.0 and mv["name"]["current_pct"] > 20
+
+    assert no_baseline()["has_baseline"] is False
