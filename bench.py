@@ -171,6 +171,7 @@ def run_flagship(spark) -> dict:
 
     ref_dir, cur_dir = _ensure_bench_data()
     stats_p, dig_p = _ensure_ref_artifacts(spark, ref_dir)
+    _warm_page_cache(cur_dir, dig_p)  # measure compute, not cold disk
     cur = spark.read.parquet(cur_dir)
     ref_stats = spark.read.parquet(stats_p)
     ref_digests = spark.read.parquet(dig_p)
