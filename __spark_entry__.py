@@ -551,6 +551,48 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return out.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q_outlier_samples(spark, sf_dir):
+    """A10 (outliers.py:147-149): the 5 most extreme IQR-outlier values per
+    group, via the engine's profile → bounds → violations chain."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "part_id", F.col("event_type")
+    )
+    prof = _stats.column_profile(ev, columns=["value"], exact_quantiles=True)
+    bounds = _out.outlier_bounds(prof)
+    v = _out.outlier_violations(ev, "value", bounds)
+    w = Window.partitionBy("part_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        v.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("part_id").alias("event_type"),
+            "rank",
+            F.round("value", 4).alias("sample_value"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+def q_dup_group_samples(spark, sf_dir):
+    """A17 (duplicates.py:92-123): top-5 duplicate key groups by size,
+    deterministic tie-break on the key."""
+    from data_drift_monitoring_spark.operators.uniqueness import (
+        sample_duplicate_groups,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    g = sample_duplicate_groups(li, keys=["l_partkey", "l_suppkey"])
+    return g.select("l_partkey", "l_suppkey", "group_size").orderBy(
+        F.desc("group_size"), "l_partkey", "l_suppkey"
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-bucketed approximate top-k (the scale path behind q_ann_topk's
     exact baseline): driver k-means on a sample, cell-pruned probe."""
@@ -625,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_embedding_pairs_exact": q_embedding_pairs_exact,
         "q_outlier_clip": q_outlier_clip,
+        "q_outlier_samples": q_outlier_samples,
+        "q_dup_group_samples": q_dup_group_samples,
         # engine-only (rows-only check)
         "q_isolation_forest": q_isolation_forest,
         "q_ann_ivf": q_ann_ivf,
@@ -807,6 +851,37 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
                             THEN 1 ELSE 0 END) AS n_clipped
             FROM lineitem, bounds
+        """,
+        "q_outlier_samples": """
+            WITH b AS (
+              SELECT event_type AS part_id,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            v AS (
+              SELECT e.event_type, e.value, e.event_id
+              FROM events e JOIN b ON e.event_type = b.part_id
+              WHERE e.value < b.q1 - 1.5*(b.q3-b.q1)
+                 OR e.value > b.q3 + 1.5*(b.q3-b.q1)
+            ),
+            r AS (
+              SELECT event_type,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rank,
+                     ROUND(value, 4) AS sample_value
+              FROM v
+            )
+            SELECT event_type, CAST(rank AS INT) AS rank, sample_value
+            FROM r WHERE rank <= 5 ORDER BY event_type, rank
+        """,
+        "q_dup_group_samples": """
+            WITH g AS (
+              SELECT l_partkey, l_suppkey, COUNT(*) AS group_size
+              FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+            )
+            SELECT l_partkey, l_suppkey, group_size
+            FROM g ORDER BY group_size DESC, l_partkey, l_suppkey LIMIT 5
         """,
         "q_psi_quantity": _psi_oracle(),
         "q_chi2_returnflag": _chi2_oracle(),
