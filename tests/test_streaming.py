@@ -72,3 +72,41 @@ def test_windowed_event_counts_batch_parity(spark, sf_dir=None):
     assert out[("2026-01-01 00:00:00", "a")] == 2
     assert out[("2026-01-01 01:00:00", "b")] == 1
     assert out[("2026-01-01 03:00:00", "a")] == 1
+
+
+def test_stream_monitor_with_reference_artifacts(
+    spark, tmp_path, ref_df, allowed_sources_df
+):
+    """Micro-batch re-validation with the full check set: drift vs the
+    broadcast reference snapshot and per-row token equality vs digests,
+    inside foreachBatch."""
+    from data_drift_monitoring_spark.generator import generate_sequences
+    from data_drift_monitoring_spark.operators.invariants import token_digests
+    from data_drift_monitoring_spark.plans.reference import build_ref_stats
+
+    inp = str(tmp_path / "landing2")
+    out = str(tmp_path / "verdicts2")
+    ckpt = str(tmp_path / "ckpt2")
+    generate_sequences(inp, "cur_drifted", rows=4000, num_partitions=8)
+
+    q = start_monitor(
+        spark, inp, out, ckpt,
+        ref_stats=build_ref_stats(ref_df),
+        allowed_sources=allowed_sources_df,
+        ref_digests=token_digests(ref_df),
+    )
+    q.awaitTermination(180)
+    v = spark.read.parquet(out)
+    checks = {r["check"] for r in v.select("check").distinct().collect()}
+    assert {"missing_values", "length_consistency", "uniqueness",
+            "referential", "drift_psi", "drift_ks", "token_equality"} <= checks
+    # drifted partitions flagged inside the stream too
+    psi_large = {
+        r["part_id"]
+        for r in v.filter(
+            (F.col("check") == "drift_psi")
+            & (F.col("column") == "n_tok")
+            & (F.col("severity") == "large")
+        ).collect()
+    }
+    assert {6, 7} <= psi_large
