@@ -1,0 +1,437 @@
+"""ValidationService — the reference's API surface as a Python facade.
+
+The reference exposes its pipeline over FastAPI routes
+(``backend/app/api/routes/data_upload.py:24-192`` upload+validate+baseline,
+``backend/app/api/routes/quality_check.py:25-191`` the quality report,
+baseline CRUD ``data_upload.py:336-397``). A Spark engine's natural surface
+is a session-scoped object, not HTTP — this facade gives a reference user
+the same verbs with the same response shapes, each backed by the
+distributed operators:
+
+    svc = ValidationService(spark, warehouse="/data/wh")
+    up  = svc.upload("/data/raw/users.csv", make_baseline=True)
+    rep = svc.check_quality("/data/raw/users_new.csv", key_columns=["id"])
+    rep["quality_score"]["grade"]          # 'Excellent' ... 'Critical'
+    svc.compare_with_baseline(rep_metadata)
+
+``check_quality`` returns a dict with the golden report's top-level keys
+(``data/drift_reports/quality_report_20251023_*.json``): report_id,
+dataset_info, missing_values, missing_patterns, duplicates, outliers,
+quality_score, recommendations, summary. Values come from 3 Spark jobs
+over the table regardless of column count (the reference runs 4 + N
+pandas passes).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DEFAULT_CONFIG, EngineConfig
+from .operators.stats import column_profile, missing_patterns
+from .operators.uniqueness import duplicate_stats
+from .plans.compare import compare_metadata, no_baseline
+from .sources.ingest import (
+    dataset_metadata,
+    read_dataset,
+    validate_dataset,
+    validate_format,
+)
+from .sources.tables import ParquetTableIO
+
+_GRADE_EMOJI = {  # quality_scorer.py:168-186
+    "Excellent": "\U0001f7e2",
+    "Good": "\U0001f7e1",
+    "Fair": "\U0001f7e0",
+    "Poor": "\U0001f534",
+    "Critical": "⛔",
+}
+
+BASELINE_TABLE = "baseline"
+BASELINE_META_TABLE = "baseline_metadata"
+
+
+class ValidationService:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ):
+        self.spark = spark
+        self.io = ParquetTableIO(spark, warehouse)
+        self.config = config
+
+    # -- upload / baseline (data_upload.py:24-192) -----------------------
+
+    def upload(
+        self,
+        path: str,
+        make_baseline: bool = False,
+        expected_schema=None,
+        now: datetime | None = None,
+    ) -> dict:
+        """Format gate → read → validate → metadata → persist (versioned)
+        → optional baseline → metadata comparison vs current baseline."""
+        fmt = validate_format(path)
+        df = read_dataset(self.spark, path, fmt)
+        validation = validate_dataset(df, expected_schema, self.config)
+        if not validation.is_valid:
+            return {
+                "success": False,
+                "errors": list(validation.errors),
+                "warnings": list(validation.warnings),
+            }
+        meta = dataset_metadata(df, self.config)
+        snap = self.io.write(df, "uploads", now=now)
+        result = {
+            "success": True,
+            "file_id": snap,
+            "format": fmt,
+            "warnings": list(validation.warnings),
+            "metadata": meta,
+            "baseline_comparison": self.compare_with_baseline(meta),
+        }
+        if make_baseline or not self.io.exists(BASELINE_TABLE):
+            result["baseline_version"] = self.create_baseline(df, meta, now)
+        return result
+
+    def create_baseline(
+        self, df: DataFrame, meta: dict | None = None, now=None
+    ) -> str:
+        """versioning.py:57-116: versioned copy + metadata sidecar (here a
+        one-row table instead of a JSON file)."""
+        meta = meta or dataset_metadata(df, self.config)
+        snap = self.io.write(df, BASELINE_TABLE, now=now)
+        side = self.spark.createDataFrame(
+            [(snap, json.dumps(meta))], "version_id string, metadata string"
+        )
+        self.io.write(side, BASELINE_META_TABLE, now=now)
+        return snap
+
+    def list_baselines(self) -> list[str]:
+        return self.io.list_snapshots(BASELINE_TABLE)
+
+    def compare_with_baseline(
+        self, current_metadata: dict, baseline_version: str | None = None
+    ) -> dict:
+        """versioning.py:271-364 over the persisted metadata sidecar."""
+        if not self.io.exists(BASELINE_META_TABLE):
+            return no_baseline()
+        side = self.io.read(BASELINE_META_TABLE, baseline_version).collect()[0]
+        return compare_metadata(
+            current_metadata,
+            json.loads(side["metadata"]),
+            baseline_version=side["version_id"],
+        )
+
+    # -- quality report (quality_check.py:25-191) ------------------------
+
+    def check_quality(
+        self,
+        df_or_path: DataFrame | str,
+        key_columns: list[str] | None = None,
+        report_id: str | None = None,
+        now: datetime | None = None,
+        persist: bool = True,
+    ) -> dict:
+        t = self.config.thresholds
+        ts = now or datetime.now(timezone.utc)
+        if isinstance(df_or_path, str):
+            df = read_dataset(self.spark, df_or_path)
+            filename = df_or_path
+        else:
+            df, filename = df_or_path, None
+        # operators key on a partition column; one logical partition here
+        tagged = df.withColumn("part_id", F.lit(0))
+        cols = df.columns
+
+        # job 1: wide profile (nulls + numeric stats for every column)
+        prof = {
+            r["column"]: r
+            for r in column_profile(tagged, partition_col="part_id").collect()
+        }
+        n_rows = next(iter(prof.values()))["n_rows"] if prof else 0
+
+        # job 2: per-row patterns + full-row/key duplicates in one pass set
+        pat = missing_patterns(tagged, partition_col="part_id").collect()[0]
+        dup = duplicate_stats(tagged, keys=cols, partition_col="part_id").collect()[0]
+        key_dup = (
+            duplicate_stats(
+                tagged, keys=key_columns, partition_col="part_id"
+            ).collect()[0]
+            if key_columns
+            else None
+        )
+
+        # job 3: outlier counts for all numeric columns (reuses profile)
+        from .operators.outliers import outlier_stats
+
+        out_rows = outlier_stats(tagged, profile=None).collect()
+
+        report = _assemble_report(
+            report_id or f"quality_report_{ts.strftime('%Y%m%d_%H%M%S')}",
+            filename,
+            ts,
+            df,
+            n_rows,
+            prof,
+            pat,
+            dup,
+            key_dup,
+            key_columns,
+            out_rows,
+            t,
+        )
+        if persist:
+            row = self.spark.createDataFrame(
+                [(report["report_id"], json.dumps(report, default=str))],
+                "report_id string, report string",
+            )
+            self.io.append(row, "quality_reports")
+        return report
+
+    def list_reports(self) -> list[str]:
+        if not self.io.exists("quality_reports"):
+            return []
+        return [
+            r["report_id"]
+            for r in self.io.read_appended("quality_reports")
+            .select("report_id")
+            .collect()
+        ]
+
+    def get_report(self, report_id: str) -> dict | None:
+        """quality_check.py:194-227 replay path."""
+        if not self.io.exists("quality_reports"):
+            return None
+        rows = (
+            self.io.read_appended("quality_reports")
+            .filter(F.col("report_id") == report_id)
+            .collect()
+        )
+        return json.loads(rows[0]["report"]) if rows else None
+
+
+def _severity(pct: float, low: float, high: float) -> str:
+    if pct == 0:
+        return "none"
+    if pct < low:
+        return "low"
+    if pct < high:
+        return "medium"
+    return "high"
+
+
+def _assemble_report(
+    report_id, filename, ts, df, n_rows, prof, pat, dup, key_dup,
+    key_columns, out_rows, t,
+) -> dict:
+    cols = df.columns
+    n_cols = len(cols)
+    total_cells = n_rows * n_cols
+    total_missing = sum(int(r["null_count"]) for r in prof.values())
+    with_missing = {
+        c: r for c, r in prof.items() if r["null_count"] > 0
+    }
+    worst = max(
+        prof.values(), key=lambda r: r["null_pct"], default=None
+    )
+
+    mv_details = [
+        {
+            "column": c,
+            "missing_count": int(r["null_count"]),
+            "missing_percentage": float(r["null_pct"]),
+            "dtype": r["dtype"],
+            "severity": _severity(
+                float(r["null_pct"]), t.missing_warn_pct, t.missing_error_pct
+            ),
+        }
+        for c, r in sorted(
+            with_missing.items(), key=lambda kv: -kv[1]["null_pct"]
+        )
+    ]
+    missing_values = {
+        "total_missing": total_missing,
+        "total_cells": total_cells,
+        "overall_missing_percentage": round(
+            total_missing / total_cells * 100, 2
+        )
+        if total_cells
+        else 0.0,
+        "columns_affected": len(with_missing),
+        "columns_with_missing": sorted(with_missing),
+        "details": mv_details,
+        "summary": {
+            "high_severity": sum(1 for d in mv_details if d["severity"] == "high"),
+            "medium_severity": sum(
+                1 for d in mv_details if d["severity"] == "medium"
+            ),
+            "low_severity": sum(1 for d in mv_details if d["severity"] == "low"),
+            "worst_column": worst["column"] if worst else None,
+            "worst_percentage": float(worst["null_pct"]) if worst else 0.0,
+        },
+    }
+
+    dup_pct = float(dup["duplicate_pct"])
+    duplicates = {
+        "total_rows": int(dup["n_rows"]),
+        "total_duplicates": int(dup["duplicate_rows"]),
+        "duplicate_percentage": dup_pct,
+        "duplicate_groups": int(dup["duplicate_groups"]),
+        "unique_rows": int(dup["unique_keys"]),
+        "check_full_row": True,
+        "key_columns": key_columns,
+        "key_analysis": (
+            {
+                "duplicate_rows": int(key_dup["duplicate_rows"]),
+                "duplicate_percentage": float(key_dup["duplicate_pct"]),
+                "unique_combinations": int(key_dup["unique_keys"]),
+            }
+            if key_dup is not None
+            else None
+        ),
+        "severity": _severity(dup_pct, t.dup_low_pct, t.dup_medium_pct),
+    }
+
+    total_outliers = sum(int(r["outlier_count"]) for r in out_rows)
+    total_numeric = sum(int(r["n_values"]) for r in out_rows)
+    out_pct = (
+        round(total_outliers / total_numeric * 100, 2) if total_numeric else 0.0
+    )
+    outliers = {
+        "total_outliers": total_outliers,
+        "total_numeric_values": total_numeric,
+        "outlier_percentage": out_pct,
+        "columns_analyzed": len(out_rows),
+        "details": [
+            {
+                "column": r["column"],
+                "outlier_count": int(r["outlier_count"]),
+                "iqr_outliers": int(r["iqr_outliers"]),
+                "z_score_outliers": int(r["z_outliers"]),
+                "outlier_percentage": float(r["outlier_pct"]),
+                "skewness": (
+                    float(r["skewness"]) if r["skewness"] is not None else None
+                ),
+            }
+            for r in sorted(out_rows, key=lambda r: -r["outlier_pct"])
+        ],
+        "severity": _severity(out_pct, t.outlier_low_pct, t.outlier_medium_pct),
+    }
+
+    from .functions.scoring import _normalized_weights
+
+    mw, dw, ow, sw = _normalized_weights(t)
+    m_score = max(0.0, 100 - missing_values["overall_missing_percentage"])
+    d_score = max(0.0, 100 - dup_pct)
+    o_score = max(0.0, 100 - min(out_pct, 100.0))
+    s_score = 100.0
+    overall = round(
+        m_score * mw / 100 + d_score * dw / 100 + o_score * ow / 100
+        + s_score * sw / 100,
+        2,
+    )
+    grade = (
+        "Excellent" if overall >= 90 else "Good" if overall >= 80
+        else "Fair" if overall >= 70 else "Poor" if overall >= 50
+        else "Critical"
+    )
+
+    recommendations = []
+    for d in mv_details:
+        if d["severity"] in ("medium", "high"):
+            recommendations.append(
+                {
+                    "category": "missing_values",
+                    "column": d["column"],
+                    "priority": d["severity"],
+                    "action": "drop_column"
+                    if d["missing_percentage"] >= t.missing_error_pct
+                    else "impute",
+                }
+            )
+    if duplicates["severity"] in ("medium", "high"):
+        recommendations.append(
+            {
+                "category": "duplicates",
+                "priority": duplicates["severity"],
+                "action": "deduplicate",
+            }
+        )
+    for d in outliers["details"]:
+        if d["outlier_percentage"] >= t.outlier_medium_pct:
+            recommendations.append(
+                {
+                    "category": "outliers",
+                    "column": d["column"],
+                    "priority": "medium",
+                    "action": "investigate_or_clip",
+                }
+            )
+
+    sev_counts = [missing_values["summary"], duplicates, outliers]
+    high = missing_values["summary"]["high_severity"] + sum(
+        1 for s in (duplicates["severity"], outliers["severity"]) if s == "high"
+    )
+    med = missing_values["summary"]["medium_severity"] + sum(
+        1
+        for s in (duplicates["severity"], outliers["severity"])
+        if s == "medium"
+    )
+    low = missing_values["summary"]["low_severity"] + sum(
+        1 for s in (duplicates["severity"], outliers["severity"]) if s == "low"
+    )
+
+    return {
+        "report_id": report_id,
+        "file_id": None,
+        "filename": filename,
+        "timestamp": ts.isoformat(),
+        "dataset_info": {
+            "rows": n_rows,
+            "columns": len(cols),
+            "column_names": cols,
+            "dtypes": dict(df.dtypes),
+        },
+        "missing_values": missing_values,
+        "missing_patterns": {
+            "rows_with_missing": int(pat["rows_with_missing"]),
+            "rows_with_missing_percentage": float(
+                pat["rows_with_missing_pct"]
+            ),
+            "rows_with_multiple_missing": int(pat["rows_multiple_missing"]),
+            "completely_empty_rows": int(pat["rows_all_missing"]),
+            "max_missing_per_row": int(pat["max_missing_in_row"]),
+            "avg_missing_per_row": float(pat["avg_missing_per_row"]),
+        },
+        "duplicates": duplicates,
+        "outliers": outliers,
+        "quality_score": {
+            "overall_score": overall,
+            "grade": grade,
+            "grade_emoji": _GRADE_EMOJI[grade],
+            "breakdown": {
+                "missing_score": round(m_score, 2),
+                "duplicate_score": round(d_score, 2),
+                "outlier_score": round(o_score, 2),
+                "schema_score": s_score,
+                "weights": {
+                    "missing": mw,
+                    "duplicates": dw,
+                    "outliers": ow,
+                    "schema": sw,
+                },
+            },
+        },
+        "recommendations": recommendations,
+        "summary": {
+            "total_issues": high + med + low,
+            "high_priority_issues": high,
+            "medium_priority_issues": med,
+            "low_priority_issues": low,
+        },
+    }

@@ -1,0 +1,95 @@
+"""ValidationService: the reference's API lifecycle (upload → baseline →
+check_quality → report replay → baseline compare) with golden-report-shaped
+output. Mirrors the reference fixture triple from create_test.ipynb cell 0:
+clean 100-row baseline / 120-row current with 10% missing name + extra
+column / tiny invalid file."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_drift_monitoring_spark.service import ValidationService
+
+GOLDEN_TOP_KEYS = {
+    "report_id", "file_id", "filename", "timestamp", "dataset_info",
+    "missing_values", "missing_patterns", "duplicates", "outliers",
+    "quality_score", "recommendations", "summary",
+}
+
+
+@pytest.fixture(scope="module")
+def svc(spark, tmp_path_factory):
+    return ValidationService(spark, str(tmp_path_factory.mktemp("wh")))
+
+
+@pytest.fixture(scope="module")
+def clean_df(spark):
+    rows = [
+        (i, f"name_{i}", 20 + i % 40, 30000.0 + 500 * i,
+         ["HR", "Engineering", "Sales"][i % 3], 50.0 + (i % 50))
+        for i in range(100)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, age int, salary double, "
+              "department string, score double"
+    )
+
+
+@pytest.fixture(scope="module")
+def current_df(spark, clean_df):
+    extra = spark.createDataFrame(
+        [(100 + i, None if i % 2 == 0 else f"n_{i}", 30, 35000.0, "IT", 60.0)
+         for i in range(20)],
+        clean_df.schema,
+    )
+    return clean_df.unionByName(extra)
+
+
+def test_upload_and_baseline(svc, clean_df, tmp_path_factory, spark):
+    p = str(tmp_path_factory.mktemp("raw") / "clean.parquet")
+    clean_df.write.parquet(p)
+    up = svc.upload(p, make_baseline=True)
+    assert up["success"]
+    assert up["metadata"]["num_rows"] == 100
+    assert up["baseline_version"] in svc.list_baselines()
+    # first upload has no prior baseline to compare against
+    assert up["baseline_comparison"]["has_baseline"] in (True, False)
+
+
+def test_check_quality_report_shape(svc, current_df):
+    rep = svc.check_quality(current_df, key_columns=["id"], persist=True)
+    assert set(rep) == GOLDEN_TOP_KEYS
+    assert rep["dataset_info"]["rows"] == 120
+    # 10 of 120 names null -> 8.33% on that column
+    mv = {d["column"]: d for d in rep["missing_values"]["details"]}
+    assert mv["name"]["missing_count"] == 10
+    assert rep["missing_values"]["summary"]["worst_column"] == "name"
+    assert rep["missing_patterns"]["rows_with_missing"] == 10
+    assert rep["duplicates"]["total_duplicates"] == 0
+    assert rep["duplicates"]["key_analysis"]["unique_combinations"] == 120
+    assert rep["quality_score"]["grade"] in (
+        "Excellent", "Good", "Fair", "Poor", "Critical"
+    )
+    assert rep["quality_score"]["overall_score"] > 90  # mild issues only
+    # replay path (quality_check.py:194-227)
+    back = svc.get_report(rep["report_id"])
+    assert back is not None and back["dataset_info"]["rows"] == 120
+    assert rep["report_id"] in svc.list_reports()
+
+
+def test_baseline_comparison_via_service(svc, current_df):
+    from data_drift_monitoring_spark.sources.ingest import dataset_metadata
+
+    cmp = svc.compare_with_baseline(dataset_metadata(current_df))
+    assert cmp["has_baseline"]
+    fields = {d["field"] for d in cmp["differences"]}
+    assert "rows" in fields  # 120 vs 100
+
+
+def test_invalid_upload_rejected(svc, spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("raw2") / "tiny.parquet")
+    spark.range(3).write.parquet(p)
+    up = svc.upload(p)
+    assert not up["success"]
+    assert "minimum is 10" in up["errors"][0]
