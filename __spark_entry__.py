@@ -624,6 +624,26 @@ def q_report_json(spark, sf_dir):
     return report_json(v, "gate_run").orderBy("part_id")
 
 
+def q_metric_drift(spark, sf_dir):
+    """CUSUM/Page-Hinkley control-chart drift (README.md:64-70 semantics)
+    over per-hour mean event values as the metric time series."""
+    from data_drift_monitoring_spark.operators.model_drift import metric_drift
+
+    ev = _read(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ts"),
+            F.col("event_type").alias("metric"),
+        )
+        .agg(F.avg("value").alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+    return metric_drift(series).select(
+        "metric", "n", "cusum_alarm", "ph_alarm", "drift_detected",
+        "recommendation",
+    ).orderBy("metric")
+
+
 def q_seq_pipeline_verdicts(spark, sf_dir):
     """Full validation pipeline over the derived sequence view (engine-only:
     verdict text depends on pandas-UDF drift p-values and token columns)."""
@@ -673,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isolation_forest": q_isolation_forest,
         "q_ann_ivf": q_ann_ivf,
         "q_report_json": q_report_json,
+        "q_metric_drift": q_metric_drift,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_groups": q_simhash_groups,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
