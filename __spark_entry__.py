@@ -907,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "q_psi_quantity": _psi_oracle(),
         "q_chi2_returnflag": _chi2_oracle(),
         "q_drift_verdict_sources": _source_drift_oracle(),
+        "q_metric_drift": _metric_drift_oracle(),
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start,
                    event_type,
@@ -1166,6 +1167,76 @@ def _source_drift_oracle() -> str:
                + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p+q)/2)) ELSE 0 END), 6)
                    AS js_divergence
         FROM t
+    """
+
+
+def _metric_drift_oracle() -> str:
+    """CUSUM needs a max(0,·) recurrence → recursive CTE; Page–Hinkley is
+    pure window algebra (running mean → cumulative sum → running min)."""
+    return """
+        WITH RECURSIVE series AS (
+          SELECT date_trunc('hour', ts) AS ts, event_type AS metric,
+                 AVG(value) AS value
+          FROM events GROUP BY 1, 2 HAVING AVG(value) IS NOT NULL
+        ),
+        base AS (
+          SELECT metric, value,
+                 ROW_NUMBER() OVER (PARTITION BY metric ORDER BY ts) AS rn
+          FROM series
+        ),
+        cal AS (
+          SELECT metric, AVG(value) AS mu,
+                 COALESCE(NULLIF(STDDEV_SAMP(value), 0), 1.0) AS sigma
+          FROM base WHERE rn <= 20 GROUP BY metric
+        ),
+        ph AS (
+          SELECT metric, rn, value,
+                 SUM(value) OVER (PARTITION BY metric ORDER BY rn) / rn
+                     AS runmean
+          FROM base
+        ),
+        ph2 AS (
+          SELECT metric, rn,
+                 SUM(runmean - value - 0.005)
+                   OVER (PARTITION BY metric ORDER BY rn) AS m
+          FROM ph
+        ),
+        ph3 AS (
+          SELECT metric, rn,
+                 m - LEAST(MIN(m) OVER (PARTITION BY metric ORDER BY rn), 0)
+                     AS ph_stat
+          FROM ph2
+        ),
+        cusum AS (
+          SELECT b.metric, b.rn,
+                 GREATEST(0.0, (b.value - c.mu)/c.sigma - 0.5) AS sp,
+                 GREATEST(0.0, -(b.value - c.mu)/c.sigma - 0.5) AS sn
+          FROM base b JOIN cal c USING (metric) WHERE b.rn = 1
+          UNION ALL
+          SELECT b.metric, b.rn,
+                 GREATEST(0.0, r.sp + (b.value - c.mu)/c.sigma - 0.5),
+                 GREATEST(0.0, r.sn - (b.value - c.mu)/c.sigma - 0.5)
+          FROM cusum r
+          JOIN base b ON b.metric = r.metric AND b.rn = r.rn + 1
+          JOIN cal c ON c.metric = b.metric
+        ),
+        agg AS (
+          SELECT m.metric,
+                 MAX(m.rn) AS n,
+                 MAX(CASE WHEN c.sp > 5 OR c.sn > 5 THEN 1 ELSE 0 END) = 1
+                     AS cusum_alarm,
+                 MAX(CASE WHEN p.ph_stat > 50 THEN 1 ELSE 0 END) = 1
+                     AS ph_alarm
+          FROM base m
+          JOIN cusum c ON c.metric = m.metric AND c.rn = m.rn
+          JOIN ph3 p ON p.metric = m.metric AND p.rn = m.rn
+          GROUP BY m.metric
+        )
+        SELECT metric, n, cusum_alarm, ph_alarm,
+               (cusum_alarm OR ph_alarm) AS drift_detected,
+               CASE WHEN cusum_alarm OR ph_alarm THEN 'retrain_model'
+                    ELSE 'no_action' END AS recommendation
+        FROM agg ORDER BY metric
     """
 
 
