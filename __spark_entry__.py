@@ -716,9 +716,9 @@ def oracle_sql() -> dict[str, str]:
             WITH seq AS ({_SEQ_ORACLE})
             SELECT part_id,
                    COUNT(*) AS n_rows,
-                   SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
-                   SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
-                   SUM(CAST(n_tok AS BIGINT)) AS total_tokens,
+                   CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
+                   CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+                   CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
                    MIN(n_tok) AS min_n_tok,
                    MAX(n_tok) AS max_n_tok,
                    ROUND(AVG(CAST(n_tok AS DOUBLE)), 4) AS mean_n_tok,
@@ -728,20 +728,20 @@ def oracle_sql() -> dict[str, str]:
         "q_len_consistency": """
             SELECT CAST(doc_id % 8 AS INT) AS part_id,
                    COUNT(*) AS n_rows,
-                   SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS len_mismatch
+                   CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS len_mismatch
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "q_missing_profile": """
             WITH t AS (
               SELECT 'props' AS col_name, COUNT(*) AS n_rows,
-                     SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_count
+                     CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count
               FROM events
               UNION ALL
               SELECT 'user_id', COUNT(*),
-                     SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+                     CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
               UNION ALL
               SELECT 'value', COUNT(*),
-                     SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) FROM events
+                     CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
             )
             SELECT col_name, n_rows, null_count,
                    ROUND(null_count * 100.0 / n_rows, 2) AS null_pct
@@ -773,9 +773,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.l_returnflag,
                    COUNT(*) AS n_rows,
-                   SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5*(b.q3-b.q1)
+                   CAST(SUM(CASE WHEN l.l_extendedprice < b.q1 - 1.5*(b.q3-b.q1)
                              OR l.l_extendedprice > b.q3 + 1.5*(b.q3-b.q1)
-                            THEN 1 ELSE 0 END) AS outliers
+                            THEN 1 ELSE 0 END) AS BIGINT) AS outliers
             FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
             GROUP BY l.l_returnflag ORDER BY l.l_returnflag
         """,
@@ -787,8 +787,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o.o_orderpriority,
                    COUNT(*) AS n_rows,
-                   SUM(CASE WHEN ABS((o.o_totalprice - g.mu)/g.sd) > 3.0
-                            THEN 1 ELSE 0 END) AS z_outliers
+                   CAST(SUM(CASE WHEN ABS((o.o_totalprice - g.mu)/g.sd) > 3.0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS z_outliers
             FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
@@ -816,9 +816,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_partkey, l_suppkey, COUNT(*) AS n
               FROM lineitem GROUP BY l_partkey, l_suppkey
             )
-            SELECT SUM(n) AS n_rows,
-                   SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS duplicate_rows,
-                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS duplicate_groups,
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS duplicate_rows,
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_groups,
                    ROUND(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) * 100.0 / SUM(n), 2)
                        AS duplicate_pct,
                    COUNT(*) AS unique_keys
@@ -827,7 +827,7 @@ def oracle_sql() -> dict[str, str]:
         "q_referential_ok": """
             SELECT CAST(c_custkey % 4 AS INT) AS part_id,
                    COUNT(*) AS n_rows,
-                   SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS violations,
+                   CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
                    ROUND(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) * 100.0
                          / COUNT(*), 2) AS violation_pct
             FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
@@ -851,10 +851,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT COUNT(*) AS n_rows,
-                   SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS rows_with_missing,
+                   CAST(SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_missing,
                    ROUND(SUM(CASE WHEN rm > 0 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2)
                        AS rows_with_missing_pct,
-                   SUM(CASE WHEN rm > 1 THEN 1 ELSE 0 END) AS rows_multiple_missing,
+                   CAST(SUM(CASE WHEN rm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS rows_multiple_missing,
                    MAX(rm) AS max_missing_in_row
             FROM r
         """,
@@ -869,8 +869,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(AVG(GREATEST(lo, LEAST(hi, l_extendedprice))), 4)
                        AS avg_clipped,
                    ROUND(AVG(l_extendedprice), 4) AS avg_raw,
-                   SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
-                            THEN 1 ELSE 0 END) AS n_clipped
+                   CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
             FROM lineitem, bounds
         """,
         "q_outlier_samples": """
@@ -937,7 +937,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    COUNT(*) AS n_docs,
-                   SUM(CAST(n_words AS BIGINT)) AS total_words,
+                   CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_words,
                    ROUND(AVG(CAST(n_words AS DOUBLE)), 4) AS avg_words,
                    ROUND(AVG(ROUND(score, 4)), 4) AS avg_quality,
                    ROUND(AVG(ROUND(stop_frac, 4)), 4) AS avg_stopword_frac,
@@ -948,8 +948,8 @@ def oracle_sql() -> dict[str, str]:
         "q_token_counts": f"""
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(CAST(len({_WORDS}) AS BIGINT)) AS total_words,
-                   SUM(CAST(CAST(CEIL(length(text) / 4.0) AS INT) AS BIGINT))
+                   CAST(SUM(CAST(len({_WORDS}) AS BIGINT)) AS BIGINT) AS total_words,
+                   CAST(SUM(CAST(CAST(CEIL(length(text) / 4.0) AS INT) AS BIGINT)) AS BIGINT)
                        AS total_subwords
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -1033,8 +1033,8 @@ def oracle_sql() -> dict[str, str]:
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             )
             SELECT COUNT(*) AS n_pairs,
-                   SUM(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS n_similar_50,
-                   SUM(CASE WHEN c >= 0.8 THEN 1 ELSE 0 END) AS n_similar_80
+                   CAST(SUM(CASE WHEN c >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar_50,
+                   CAST(SUM(CASE WHEN c >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar_80
             FROM p
         """,
     }
@@ -1085,13 +1085,13 @@ def _psi_oracle() -> str:
           FROM t
         )
         SELECT 'l_quantity' AS col,
-               agg.n_cur AS n_cur,
-               agg.n_ref AS n_ref,
+               CAST(agg.n_cur AS BIGINT) AS n_cur,
+               CAST(agg.n_ref AS BIGINT) AS n_ref,
                ROUND(agg.psi, 6) AS psi,
                ROUND(agg.js, 6) AS js_divergence,
                ROUND(ks.ks_stat, 6) AS ks_stat,
                ROUND(agg.chi2, 4) AS chi2_stat,
-               agg.dof AS chi2_dof,
+               CAST(agg.dof AS BIGINT) AS chi2_dof,
                CASE WHEN agg.psi < 0.1 THEN 'none'
                     WHEN agg.psi < 0.25 THEN 'moderate'
                     ELSE 'large' END AS psi_drift
@@ -1121,8 +1121,8 @@ def _chi2_oracle() -> str:
           FROM h
         )
         SELECT 'l_returnflag' AS col,
-               MAX(n_cur) AS n_cur,
-               MAX(n_ref) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
                ROUND(SUM((p - q) * ln(GREATEST(p, 1e-6)/GREATEST(q, 1e-6))), 6) AS psi,
                ROUND(SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN
                    POW(cur_cnt - n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
@@ -1130,7 +1130,7 @@ def _chi2_oracle() -> str:
                  + POW(ref_cnt - n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
                      / (n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref))
                  ELSE 0 END), 4) AS chi2_stat,
-               SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN 1 ELSE 0 END) - 1 AS chi2_dof,
+               CAST(SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN 1 ELSE 0 END) - 1 AS BIGINT) AS chi2_dof,
                CASE WHEN SUM((p - q) * ln(GREATEST(p,1e-6)/GREATEST(q,1e-6))) < 0.1
                     THEN 'none'
                     WHEN SUM((p - q) * ln(GREATEST(p,1e-6)/GREATEST(q,1e-6))) < 0.25

@@ -43,11 +43,23 @@ from .sources.tables import ParquetTableIO
 
 _GRADE_EMOJI = {  # quality_scorer.py:168-186
     "Excellent": "\U0001f7e2",
+    "Very Good": "\U0001f7e2",
     "Good": "\U0001f7e1",
     "Fair": "\U0001f7e0",
     "Poor": "\U0001f534",
-    "Critical": "⛔",
+    "Critical": "\U0001f534",
 }
+
+
+def _grade_py(score: float) -> str:
+    """Driver-side twin of functions.verdicts.grade (quality_scorer.py:145-166)."""
+    for cut, name in (
+        (90, "Excellent"), (80, "Very Good"), (70, "Good"),
+        (60, "Fair"), (50, "Poor"),
+    ):
+        if score >= cut:
+            return name
+    return "Critical"
 
 BASELINE_TABLE = "baseline"
 BASELINE_META_TABLE = "baseline_metadata"
@@ -101,14 +113,17 @@ class ValidationService:
     def create_baseline(
         self, df: DataFrame, meta: dict | None = None, now=None
     ) -> str:
-        """versioning.py:57-116: versioned copy + metadata sidecar (here a
-        one-row table instead of a JSON file)."""
+        """versioning.py:57-116: versioned copy + metadata sidecar (an
+        append-only table keyed by the baseline's own snapshot id, so a
+        pinned-version read never depends on two writes minting the same
+        timestamp)."""
         meta = meta or dataset_metadata(df, self.config)
+        now = now or datetime.now(timezone.utc)
         snap = self.io.write(df, BASELINE_TABLE, now=now)
         side = self.spark.createDataFrame(
             [(snap, json.dumps(meta))], "version_id string, metadata string"
         )
-        self.io.write(side, BASELINE_META_TABLE, now=now)
+        self.io.append(side, BASELINE_META_TABLE)
         return snap
 
     def list_baselines(self) -> list[str]:
@@ -117,14 +132,27 @@ class ValidationService:
     def compare_with_baseline(
         self, current_metadata: dict, baseline_version: str | None = None
     ) -> dict:
-        """versioning.py:271-364 over the persisted metadata sidecar."""
+        """versioning.py:271-364 over the persisted metadata sidecar.
+        ``baseline_version`` is a BASELINE_TABLE snapshot id; the sidecar is
+        resolved by filtering on that id (never by sidecar snapshot)."""
         if not self.io.exists(BASELINE_META_TABLE):
             return no_baseline()
-        side = self.io.read(BASELINE_META_TABLE, baseline_version).collect()[0]
+        side = self.io.read_appended(BASELINE_META_TABLE)
+        if baseline_version is not None:
+            side = side.filter(F.col("version_id") == baseline_version)
+        rows = side.collect()
+        if not rows:
+            return no_baseline()
+
+        def _vnum(r):  # 'v{n}_{ts}' → n (latest baseline wins when unpinned)
+            m = r["version_id"].split("_", 1)[0]
+            return int(m[1:]) if m[1:].isdigit() else -1
+
+        row = max(rows, key=_vnum)
         return compare_metadata(
             current_metadata,
-            json.loads(side["metadata"]),
-            baseline_version=side["version_id"],
+            json.loads(row["metadata"]),
+            baseline_version=row["version_id"],
         )
 
     # -- quality report (quality_check.py:25-191) ------------------------
@@ -335,11 +363,7 @@ def _assemble_report(
         + s_score * sw / 100,
         2,
     )
-    grade = (
-        "Excellent" if overall >= 90 else "Good" if overall >= 80
-        else "Fair" if overall >= 70 else "Poor" if overall >= 50
-        else "Critical"
-    )
+    grade = _grade_py(overall)
 
     recommendations = []
     for d in mv_details:
@@ -373,7 +397,11 @@ def _assemble_report(
                 }
             )
 
-    sev_counts = [missing_values["summary"], duplicates, outliers]
+    # quality_scorer.py:249-251: stable priority sort (category order kept
+    # within each priority tier)
+    _prio = {"high": 0, "medium": 1, "low": 2}
+    recommendations.sort(key=lambda r: _prio.get(r["priority"], 3))
+
     high = missing_values["summary"]["high_severity"] + sum(
         1 for s in (duplicates["severity"], outliers["severity"]) if s == "high"
     )

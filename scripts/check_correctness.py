@@ -3,7 +3,12 @@ on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
 count, schema (column names), and an order-insensitive value comparison
 (columns sorted by name, rows sorted, values stringified).
 
-Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+Usage: python scripts/check_correctness.py [--strict] [sf_dir] [query ...]
+
+``--strict`` stringifies values with repr() instead of %.6g — this
+reproduces the driver's value-hash sensitivity (e.g. DuckDB HUGEINT sums
+surfacing as float64 "7.0" vs Spark int64 "7"), so a strict pass implies
+a driver hash_match.
 """
 
 from __future__ import annotations
@@ -21,18 +26,16 @@ TABLES = (
 ).split()
 
 
-def canon(df_pandas):
-    import pandas as pd
-
+def canon(df_pandas, strict=False):
     df = df_pandas.reindex(sorted(df_pandas.columns), axis=1)
     rows = []
     for t in df.itertuples(index=False):
         vals = []
         for v in t:
-            if isinstance(v, float):
-                vals.append(f"{v:.6g}")
-            elif v is None or v != v:
+            if v is None or v != v:
                 vals.append("∅")
+            elif isinstance(v, float):
+                vals.append(repr(v) if strict else f"{v:.6g}")
             else:
                 vals.append(str(v))
         rows.append("|".join(vals))
@@ -40,8 +43,10 @@ def canon(df_pandas):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from data_drift_monitoring_spark.session import get_spark
@@ -76,8 +81,8 @@ def main():
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"[FAIL-oracle] {name}: {ex}")
             continue
-        s_rows, s_cols = canon(sdf)
-        o_rows, o_cols = canon(odf)
+        s_rows, s_cols = canon(sdf, strict=strict)
+        o_rows, o_cols = canon(odf, strict=strict)
         if s_cols != o_cols:
             failures.append((name, f"schema {s_cols} vs {o_cols}"))
             print(f"[FAIL-schema] {name}: spark={s_cols} oracle={o_cols}")
