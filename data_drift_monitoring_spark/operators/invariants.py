@@ -108,6 +108,20 @@ def token_digests(
     return df.select(key, F.xxhash64(tokens_col).alias("tok_digest"))
 
 
+def _one_digest_per_key(ref_digests: DataFrame, key: str) -> DataFrame:
+    """Collapse the reference digests to exactly one row per key (min digest,
+    deterministic). A reference snapshot with duplicate keys would otherwise
+    fan out the left join and inflate every current-side count — the
+    invariant contract is one reference row per doc. The aggregate partial-
+    combines map-side and leaves the data hash-partitioned on ``key``, which
+    the join reuses, so this adds no extra row-volume shuffle."""
+    return (
+        ref_digests.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.min("tok_digest").alias("_rd"))
+    )
+
+
 def token_equality_stats_from_digests(
     cur_digests: DataFrame,
     ref_digests: DataFrame,
@@ -120,9 +134,7 @@ def token_equality_stats_from_digests(
     c = cur_digests.select(
         partition_col, key, F.col("tok_digest").alias("_cd")
     ).filter(F.col(key).isNotNull())
-    r = ref_digests.select(key, F.col("tok_digest").alias("_rd")).filter(
-        F.col(key).isNotNull()
-    )
+    r = _one_digest_per_key(ref_digests, key)
     j = c.join(r.hint("shuffle_hash"), on=key, how="left")
     return j.groupBy(partition_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -158,9 +170,7 @@ def uniqueness_and_token_equality(
     c = cur_digests.select(
         partition_col, key, F.col("tok_digest").alias("_cd")
     ).filter(F.col(key).isNotNull())
-    r = ref_digests.select(key, F.col("tok_digest").alias("_rd")).filter(
-        F.col(key).isNotNull()
-    )
+    r = _one_digest_per_key(ref_digests, key)
     # digest equi-join needs no sort order: force shuffled-hash (the
     # planner still picks SortMergeJoin here otherwise, paying two
     # O(rows log rows) sorts)

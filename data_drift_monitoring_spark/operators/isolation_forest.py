@@ -117,10 +117,17 @@ def fit_isolation_forest(
     seed: int = _SEED,
     max_sample: int = 100_000,
 ) -> IsolationForestModel:
-    """Driver-side fit over a bounded random sample of ``columns``."""
+    """Driver-side fit over a bounded random sample of ``columns``.
+
+    The sample is seeded-random, not ``limit()`` — a plain limit takes the
+    first partitions' rows, which biases the fit (and the contamination
+    threshold) on ordered or partition-skewed data. rand(seed) + TakeOrdered
+    is one pass over the projected columns, O(n log k) per partition, and
+    moves only ``max_sample`` rows to the driver."""
     pdf = (
         df.select(*columns)
         .dropna()
+        .orderBy(F.rand(seed))
         .limit(max_sample)
         .toPandas()
     )

@@ -99,6 +99,19 @@ def prepare_sequences(df: DataFrame, partition_col: str = "part_id") -> DataFram
     )
 
 
+def release_cached(verdicts: DataFrame) -> None:
+    """Unpersist the intermediates build_verdicts cached for this verdict
+    DataFrame. Call once the verdict rows are materialized (written or
+    collected) — a long-running stream invoking build_verdicts per
+    micro-batch would otherwise grow the SQL CacheManager unboundedly."""
+    for c in getattr(verdicts, "_cached_intermediates", ()):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    verdicts._cached_intermediates = ()
+
+
 def build_verdicts(
     df: DataFrame,
     ref_stats: DataFrame | None = None,
@@ -111,17 +124,23 @@ def build_verdicts(
 
     ``ref_digests`` (doc_id, tok_digest) is the preferred reference-side
     artifact for the per-row token-equality invariant; ``ref_sequences``
-    (full arrays) is accepted and digested on the fly."""
+    (full arrays) is accepted and digested on the fly.
+
+    Cached intermediates are tracked on the returned DataFrame; callers
+    that materialize the result should pass it to ``release_cached``."""
     t = config.thresholds
+    _cached: list[DataFrame] = []
     prepared = prepare_sequences(df, config.partition_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _cached.append(prepared)
     # materialize the projection BEFORE assembling the fan-out: the verdict
     # union is one job whose first-level stages would otherwise start
     # concurrently and each recompute the heavy token-array scan while the
     # cache is still cold (a cache-fill race duplicating the dominant cost)
     prepared.count()
     seq = sequence_stats_prepared(prepared, config.partition_col).cache()
+    _cached.append(seq)
     seq.count()
 
     pieces: list[DataFrame] = []
@@ -168,6 +187,7 @@ def build_verdicts(
         dup = uniqueness_and_token_equality(
             prepared, ref_digests, partition_col=config.partition_col
         ).cache()
+        _cached.append(dup)
         te = dup
     else:
         dup = duplicate_stats(
@@ -193,6 +213,8 @@ def build_verdicts(
         if (allowed_sources is not None or ref_stats is not None)
         else None
     )
+    if src_counts is not None:
+        _cached.append(src_counts)
 
     # 4. referential: source ∈ allowed dimension (J3). The dimension is tiny
     #    by definition, so it collapses to an isin over the histogram bins;
@@ -293,6 +315,7 @@ def build_verdicts(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    out._cached_intermediates = _cached
     return out
 
 
@@ -508,10 +531,13 @@ def run_checks(
             spark, io, run_id, todo, "started", snapshot_id, now=now
         )
 
-    verdicts = build_verdicts(
+    built = build_verdicts(
         df, ref_stats, allowed_sources, ref_sequences, config,
         ref_digests=ref_digests,
-    ).withColumn("run_id", F.lit(run_id)).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verdicts = built.withColumn("run_id", F.lit(run_id)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     score = score_partitions(verdicts.drop("run_id"), config).withColumn(
         "run_id", F.lit(run_id)
     )
@@ -535,6 +561,10 @@ def run_checks(
             spark, io, run_id, sorted(digests), "done", snapshot_id,
             digests=digests, started_at=started, now=now,
         )
+        # everything is on disk now; drop the cached plan state so repeated
+        # run_checks calls (or a driver loop) don't accumulate cache entries
+        release_cached(built)
+        verdicts.unpersist()
         verdicts = io.read_appended(RESULTS_TABLE).filter(
             F.col("run_id") == run_id
         )

@@ -50,7 +50,7 @@ def start_monitor(
     ``False`` keeps polling — both share the checkpoint, so a crashed run
     resumes without reprocessing finished batches.
     """
-    from ..plans.pipeline import build_verdicts
+    from ..plans.pipeline import build_verdicts, release_cached
 
     stream = (
         spark.readStream.schema(SEQUENCES_SCHEMA)
@@ -61,14 +61,21 @@ def start_monitor(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        verdicts = build_verdicts(
+        built = build_verdicts(
             batch_df,
             ref_stats=ref_stats,
             allowed_sources=allowed_sources,
             ref_digests=ref_digests,
             config=config,
-        ).withColumn("batch_id", F.lit(batch_id))
-        verdicts.write.mode("append").parquet(output_dir)
+        )
+        try:
+            built.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(output_dir)
+        finally:
+            # unpersist per micro-batch: a long-running stream must not
+            # accumulate cached plans in the SQL CacheManager
+            release_cached(built)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -37,3 +37,34 @@ def test_violation_rows_pinpoint_diffs(spark, ref_df, ref_corrupted_df):
 
 def test_identical_tables_no_violations(spark, ref_df):
     assert token_equality_violations(ref_df, ref_df).count() == 0
+
+
+def test_ref_duplicates_do_not_inflate_current_counts(spark, ref_df):
+    """A reference snapshot with duplicated doc_ids must not fan out the
+    join: current-side n_rows / uniqueness must equal the clean-ref run."""
+    from data_drift_monitoring_spark.operators.invariants import (
+        token_digests,
+        uniqueness_and_token_equality,
+    )
+
+    cur = ref_df.selectExpr(
+        "part_id", "doc_id", "xxhash64(tokens) AS tok_digest"
+    )
+    ref = token_digests(ref_df)
+    dup_ref = ref.unionByName(ref)  # every ref key appears twice
+
+    clean = {
+        r["part_id"]: r for r in uniqueness_and_token_equality(cur, ref).collect()
+    }
+    doubled = {
+        r["part_id"]: r
+        for r in uniqueness_and_token_equality(cur, dup_ref).collect()
+    }
+    assert set(clean) == set(doubled)
+    for p, c in clean.items():
+        d = doubled[p]
+        for col in (
+            "n_rows", "duplicate_rows", "duplicate_groups", "unique_keys",
+            "token_mismatch", "token_match", "missing_in_ref",
+        ):
+            assert c[col] == d[col], (p, col)
