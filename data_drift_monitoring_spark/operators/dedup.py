@@ -114,19 +114,53 @@ def minhash_signatures(
     return df.withColumn("minhash", sig).drop("_sh")
 
 
+def _salt_oversized(
+    d: DataFrame,
+    bucket_cols: list[str],
+    order_col: str,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Append ``_salt``: rows of a bucket larger than ``max_bucket_size``
+    are deterministically chunked (row_number order on ``order_col``) into
+    ceil(n/cap) sub-buckets; smaller buckets keep salt 0 and are unaffected.
+
+    This bounds every within-bucket self-join task at cap² comparisons — a
+    degenerate bucket (near-identical content all hashing together) can no
+    longer produce a runaway quadratic task at scale. The documented recall
+    bound: pairs spanning two chunks of an oversized bucket are missed, but
+    every member of such a bucket is still compared against cap-1
+    co-members, which is what dedup connectivity needs."""
+    if max_bucket_size is None:
+        return d.withColumn("_salt", F.lit(0))
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(order_col).asc())
+    return d.withColumn(
+        "_salt",
+        F.floor((F.row_number().over(w) - 1) / F.lit(max_bucket_size)).cast(
+            "int"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     key_col: str,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate pairs (a < b) with
-    their minhash-estimated Jaccard. The self-join is on (band, band_hash):
-    shuffle keys are tiny and quadratic blowup is confined to buckets."""
+    their minhash-estimated Jaccard.
+
+    Scale shape: the exploded band rows carry ONLY (band, band_hash, key)
+    — ~24 B/row — through the self-join shuffle; the full signatures
+    (num_hashes × 8 B) are joined back to the (small) deduplicated
+    candidate set afterwards, never multiplied by the band fan-out.
+    Oversized buckets are chunk-salted (see ``_salt_oversized``). Callers
+    iterating over the same signature table should persist ``sigs`` —
+    this plan references it for banding and twice for the join-back."""
     rows = num_hashes // bands
     banded = sigs.select(
         F.col(key_col).alias("k"),
-        F.col("minhash"),
         F.explode(
             F.array(
                 *[
@@ -146,19 +180,25 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("k", "minhash", "bb.band", "bb.bh")
+    ).select("k", "bb.band", "bb.bh")
+    banded = _salt_oversized(banded, ["band", "bh"], "k", max_bucket_size)
 
-    left = banded.select(
-        "band", "bh", F.col("k").alias("a"), F.col("minhash").alias("sig_a")
-    )
-    right = banded.select(
-        "band", "bh", F.col("k").alias("b"), F.col("minhash").alias("sig_b")
-    )
+    left = banded.select("band", "bh", "_salt", F.col("k").alias("a"))
+    right = banded.select("band", "bh", "_salt", F.col("k").alias("b"))
     pairs = (
-        left.join(right, on=["band", "bh"])
+        left.join(right, on=["band", "bh", "_salt"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sig_a", "sig_b")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    sig_a = sigs.select(
+        F.col(key_col).alias("a"), F.col("minhash").alias("sig_a")
+    )
+    sig_b = sigs.select(
+        F.col(key_col).alias("b"), F.col("minhash").alias("sig_b")
+    )
+    joined = pairs.join(sig_a.hint("shuffle_hash"), on="a").join(
+        sig_b.hint("shuffle_hash"), on="b"
     )
     est = (
         F.size(
@@ -169,7 +209,7 @@ def lsh_candidate_pairs(
         )
         / F.lit(num_hashes)
     )
-    return pairs.select("a", "b", est.alias("est_jaccard"))
+    return joined.select("a", "b", est.alias("est_jaccard"))
 
 
 def minhash_lsh_duplicates(
@@ -218,21 +258,37 @@ def ngram_jaccard(
 def _simhash64(words_hashes: pd.Series) -> pd.Series:
     """64-bit SimHash from per-word 64-bit hashes (Charikar 2002):
     bit b of the signature = sign of Σ_w (±1 by bit b of hash(w)).
-    Arrow-vectorized numpy; no per-row Python beyond the ragged loop."""
-    out = np.zeros(len(words_hashes), dtype=np.int64)
-    for i, hs in enumerate(words_hashes):
-        if hs is None or len(hs) == 0:
-            continue
-        h = np.asarray(hs, dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        v = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 sums)
-        sig = np.uint64(0)
-        for b in range(64):
-            if v[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+
+    Fully batch-vectorized: the ragged hash lists are flattened once, the
+    per-row bit votes are a single segment-sum (np.add.at on the flat
+    (total_hashes × 64) bit matrix), and the 64 sign bits are packed with
+    one shift-dot — no per-row or per-bit Python loops."""
+    n = len(words_hashes)
+    out = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in words_hashes), dtype=np.int64,
+        count=n,
+    )
+    if n == 0 or lens.sum() == 0:
+        return pd.Series(out)
+    flat = np.concatenate(
+        [
+            np.asarray(h, dtype=np.uint64)
+            for h in words_hashes
+            if h is not None and len(h)
+        ]
+    )
+    row_idx = np.repeat(np.arange(n), lens)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(votes, row_idx, bits)
+    v = votes * 2 - lens[:, None]  # (+1/-1 sums)
+    sig = ((v > 0).astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64
+    )
+    nonempty = lens > 0
+    out[nonempty] = sig[nonempty].astype(np.int64)
     return pd.Series(out)
 
 
@@ -269,11 +325,18 @@ def embedding_near_duplicates(
     planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucket (sign bits of
     R dot products) → exact cosine within bucket. Pairs (a<b) with
     cosine ≥ threshold. The hyperplanes are literal arrays (broadcast in
-    the plan, no side table)."""
+    the plan, no side table).
+
+    Skew guard: a degenerate bucket (e.g. near-zero vectors all landing on
+    one sign pattern) would make the within-bucket self-join quadratic in
+    that bucket's size; buckets above ``max_bucket_size`` are chunk-salted
+    (``_salt_oversized``), bounding every task at cap² dot products at the
+    cost of missing cross-chunk pairs inside the oversized bucket."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -298,8 +361,13 @@ def embedding_near_duplicates(
     ]
     bucket = F.concat_ws("", *[b.cast("string") for b in bits])
     d = d.withColumn("bucket", bucket)
-    a = d.select("bucket", F.col("k").alias("a"), F.col("v").alias("va"))
-    b = d.select("bucket", F.col("k").alias("b"), F.col("v").alias("vb"))
+    d = _salt_oversized(d, ["bucket"], "k", max_bucket_size)
+    a = d.select(
+        "bucket", "_salt", F.col("k").alias("a"), F.col("v").alias("va")
+    )
+    b = d.select(
+        "bucket", "_salt", F.col("k").alias("b"), F.col("v").alias("vb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
@@ -309,7 +377,7 @@ def embedding_near_duplicates(
         )
     )
     return (
-        a.join(b, on="bucket")
+        a.join(b, on=["bucket", "_salt"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a", "b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine")

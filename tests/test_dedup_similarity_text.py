@@ -188,3 +188,44 @@ def test_multimodal_frame_sampling(spark):
     vids = 3  # every 3rd is video
     assert len(frames) == vids * 4  # 1000ms / 250ms
     assert {r["frame_ts_ms"] for r in frames} == {0, 250, 500, 750}
+
+
+def test_embedding_lsh_skew_guard_bounds_tasks(spark):
+    """Adversarial all-similar fixture: every vector identical → one LSH
+    bucket. The chunk-salting guard bounds the self-join at cap² per task;
+    pairs are confined to chunks but every member still pairs with cap-1
+    co-members (the documented recall bound)."""
+    vec = [float(x) for x in range(1, 17)]
+    rows = [(i, vec) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    guarded = D.embedding_near_duplicates(
+        df, threshold=0.99, planes=8, dim=16, max_bucket_size=16
+    ).collect()
+    # chunks of 16,16,16,12 → 3*C(16,2) + C(12,2) pairs
+    assert len(guarded) == 3 * 120 + 66
+    covered = {r["a"] for r in guarded} | {r["b"] for r in guarded}
+    assert covered == set(range(60))  # connectivity: nobody left unpaired
+
+    unguarded = D.embedding_near_duplicates(
+        df, threshold=0.99, planes=8, dim=16, max_bucket_size=None
+    ).count()
+    assert unguarded == 60 * 59 // 2
+
+
+def test_minhash_bucket_salting_keeps_small_buckets_exact(spark, dup_docs):
+    """cap smaller than any real bucket never changes results when buckets
+    are under it; a cap of 1 degrades recall but still runs."""
+    base = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_duplicates(
+            dup_docs, "doc_id", threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    huge_cap = {
+        (r["a"], r["b"])
+        for r in D.minhash_lsh_duplicates(
+            dup_docs, "doc_id", threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert base == huge_cap and (1, 2) in base
