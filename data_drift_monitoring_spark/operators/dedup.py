@@ -228,6 +228,32 @@ def minhash_lsh_duplicates(
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_verified_duplicates(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """LSH candidates verified by EXACT n-gram Jaccard (not the minhash
+    estimate): (a, b, jaccard) with jaccard ≥ threshold. The recall knob is
+    (num_hashes, bands): P(candidate | J) = 1-(1-J^r)^b with r =
+    num_hashes/bands — e.g. 64 hashes / 32 bands gives miss probability
+    ≤ (1-J²)^32 ≈ 1e-4 at J = 0.5, while keeping low-similarity pairs out
+    of the candidate set. Verification cost is bounded by the candidates."""
+    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed)
+    cand = lsh_candidate_pairs(
+        sigs, key_col, num_hashes, bands, max_bucket_size
+    ).select("a", "b")
+    return ngram_jaccard(df, cand, key_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
@@ -292,21 +318,32 @@ def _simhash64(words_hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def portable_word_hash(w):
+    """60-bit positive word hash computable identically in any SQL engine
+    with md5: first 15 hex chars of md5 parsed as an integer. Used by the
+    oracle-checked SimHash gate query — DuckDB mirror:
+    ``('0x' || substr(md5(w), 1, 15))::BIGINT``. Production SimHash keeps
+    the (faster, 64-bit) xxhash64 default."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(df: DataFrame, text_col: str = "text", word_hash=None) -> DataFrame:
     """Add a 64-bit ``simhash`` column. Word hashes are computed JVM-side
-    (xxhash64 per word); only the bit-vote crosses to Arrow."""
+    (xxhash64 per word by default; pass ``word_hash`` e.g.
+    ``portable_word_hash`` for a cross-engine-reproducible signature);
+    only the bit-vote crosses to Arrow."""
     words = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-    wh = F.transform(words, lambda w: F.xxhash64(w))
+    wh = F.transform(words, word_hash or (lambda w: F.xxhash64(w)))
     return df.withColumn("simhash", _simhash64(wh))
 
 
 def simhash_duplicates(
-    df: DataFrame, key_col: str, text_col: str = "text"
+    df: DataFrame, key_col: str, text_col: str = "text", word_hash=None
 ) -> DataFrame:
     """Exact-signature SimHash collision groups (Hamming distance 0; the
     standard d≤k extension splits the 64 bits into k+1 tables of this same
     shape)."""
-    s = simhash(df, text_col)
+    s = simhash(df, text_col, word_hash)
     return (
         s.groupBy("simhash")
         .agg(
@@ -326,48 +363,78 @@ def embedding_near_duplicates(
     seed: int = 42,
     dim: int | None = None,
     max_bucket_size: int | None = 1024,
+    tables: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucket (sign bits of
-    R dot products) → exact cosine within bucket. Pairs (a<b) with
-    cosine ≥ threshold. The hyperplanes are literal arrays (broadcast in
-    the plan, no side table).
+    R dot products) → exact cosine verification of candidates. Pairs (a<b)
+    with cosine ≥ threshold. The hyperplanes are literal arrays (broadcast
+    in the plan, no side table).
+
+    ``tables`` independent hash tables (seeds seed..seed+tables-1) are
+    unioned: per-table recall for a pair at angle θ is (1-θ/π)^planes, so
+    L tables lift recall to 1-(1-(1-θ/π)^planes)^L — the standard LSH
+    recall lever (lower ``planes`` + more ``tables`` for lower-similarity
+    targets). Candidate generation shuffles only (key, table, code) rows —
+    vectors are joined back to the deduplicated candidate set, never
+    multiplied by the table fan-out. False positives cost only the exact
+    cosine check; they never reach the output.
 
     Skew guard: a degenerate bucket (e.g. near-zero vectors all landing on
     one sign pattern) would make the within-bucket self-join quadratic in
     that bucket's size; buckets above ``max_bucket_size`` are chunk-salted
-    (``_salt_oversized``), bounding every task at cap² dot products at the
+    (``_salt_oversized``), bounding every task at cap² comparisons at the
     cost of missing cross-chunk pairs inside the oversized bucket."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes_m = rng.standard_normal((planes, dim))
 
     d = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
     v = F.col("v")
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(x)) for x in planes_m[p]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+
+    def _code(planes_m: np.ndarray):
+        bits = [
+            (
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(x)) for x in row]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0
+            ).cast("int")
+            for row in planes_m
+        ]
+        return F.concat_ws("", *[b.cast("string") for b in bits])
+
+    tbl = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _code(
+                    np.random.default_rng(seed + t).standard_normal(
+                        (planes, dim)
+                    )
+                ).alias("code"),
             )
-            > 0
-        ).cast("int")
-        for p in range(planes)
-    ]
-    bucket = F.concat_ws("", *[b.cast("string") for b in bits])
-    d = d.withColumn("bucket", bucket)
-    d = _salt_oversized(d, ["bucket"], "k", max_bucket_size)
-    a = d.select(
-        "bucket", "_salt", F.col("k").alias("a"), F.col("v").alias("va")
+            for t in range(tables)
+        ]
     )
-    b = d.select(
-        "bucket", "_salt", F.col("k").alias("b"), F.col("v").alias("vb")
+    banded = d.select("k", F.explode(tbl).alias("tb")).select(
+        "k", "tb.t", "tb.code"
     )
+    banded = _salt_oversized(banded, ["t", "code"], "k", max_bucket_size)
+    a = banded.select("t", "code", "_salt", F.col("k").alias("a"))
+    b = banded.select("t", "code", "_salt", F.col("k").alias("b"))
+    pairs = (
+        a.join(b, on=["t", "code", "_salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = d.select(F.col("k").alias("a"), F.col("v").alias("va"))
+    vb = d.select(F.col("k").alias("b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
@@ -377,11 +444,10 @@ def embedding_near_duplicates(
         )
     )
     return (
-        a.join(b, on=["bucket", "_salt"])
-        .filter(F.col("a") < F.col("b"))
+        pairs.join(va.hint("shuffle_hash"), on="a")
+        .join(vb.hint("shuffle_hash"), on="b")
         .select(
             "a", "b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
-        .dropDuplicates(["a", "b"])
     )

@@ -229,3 +229,74 @@ def test_minhash_bucket_salting_keeps_small_buckets_exact(spark, dup_docs):
         ).collect()
     }
     assert base == huge_cap and (1, 2) in base
+
+
+# -- quantified approximation quality vs the in-repo exact baselines --------
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def embs01(spark):
+    return spark.read.parquet(f"{SF01}/embeddings.parquet")
+
+
+def test_ivf_recall_quantified(spark, embs01):
+    """IVF recall against the exact brute-force baseline at sf0.01 (the
+    numbers recorded in COVERAGE.md): recall@3 ≥ 0.9 at nprobe=3/8 cells,
+    and full probe reproduces the exact ranking identically."""
+    cent = S.kmeans_centroids(embs01, n_cells=8, sample_fraction=0.5)
+    index = S.ivf_index(embs01, cent)
+    queries = embs01.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk_bruteforce(embs01, queries, k=3).select(
+        "query_id", "rank", "vec_id"
+    ).collect()
+    ex_rows = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact)
+
+    part = S.ivf_topk(index, queries, cent, k=3, nprobe=3).collect()
+    ex_sets, ap_sets = {}, {}
+    for q, _, v in ex_rows:
+        ex_sets.setdefault(q, set()).add(v)
+    for r in part:
+        ap_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(ex_sets[q] & ap_sets.get(q, set())) / 3 for q in ex_sets
+    ) / len(ex_sets)
+    assert recall >= 0.9
+
+    full = S.ivf_topk(index, queries, cent, k=3, nprobe=8).select(
+        "query_id", "rank", "vec_id"
+    ).collect()
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in full) == ex_rows
+
+
+def test_minhash_estimate_mae_vs_exact(spark):
+    """MinHash est_jaccard vs exact n-gram Jaccard over the LSH candidate
+    set at sf0.01: MAE ≤ 0.05 with 64 hashes (measured 0.025)."""
+    d = spark.read.parquet(f"{SF01}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    sigs = D.minhash_signatures(d, "text", 64, 3)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", 64, 32)
+    exact = D.ngram_jaccard(d, cand.select("a", "b"), "doc_id")
+    rows = cand.join(exact, on=["a", "b"]).collect()
+    errs = [abs(r["est_jaccard"] - r["jaccard"]) for r in rows]
+    assert rows and sum(errs) / len(errs) <= 0.05
+    assert max(errs) <= 0.12
+
+
+def test_embedding_multi_table_lifts_recall(spark, embs01):
+    """The sf0.01 corpus has exactly one pair at cosine ≥ 0.5. A single
+    8-plane table misses it (per-table catch probability ≈ 4% at θ ≈ 60°);
+    6 planes × 8 tables finds it — and finds nothing else, matching the
+    exact all-pairs answer."""
+    single = D.embedding_near_duplicates(
+        embs01, threshold=0.5, planes=8, tables=1
+    ).collect()
+    assert single == []
+    multi = D.embedding_near_duplicates(
+        embs01, threshold=0.5, planes=6, tables=8
+    ).collect()
+    assert {(r["a"], r["b"]) for r in multi} == {(169, 466)}
