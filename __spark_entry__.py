@@ -692,6 +692,33 @@ def q_metric_drift(spark, sf_dir):
     ).orderBy("metric")
 
 
+def q_remediation(spark, sf_dir):
+    """Rules-engine remediation plan (reference README.md:113
+    remediation_rules.json semantics) over a deterministically corrupted
+    sequence view — nulls every 97th doc_id, aliases keys mod 450, and
+    narrows the allowed-source dimension to 10 — so missing, uniqueness,
+    and referential checks all fail and the (check, severity) → (priority,
+    action, snippet) mapping is exercised end to end. The oracle mirrors
+    the corruption, the verdict chains, and the rules join in SQL."""
+    from data_drift_monitoring_spark.functions.remediation import (
+        remediation_plan,
+    )
+    from data_drift_monitoring_spark.plans.pipeline import build_verdicts
+
+    seq = _sequences_view(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    corr = seq.withColumn(
+        "doc_id",
+        F.when(F.pmod(did, F.lit(97)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.pmod(did, F.lit(450)).cast("string")),
+    )
+    dim = spark.createDataFrame(
+        [(s,) for s in ALLOWED_DOC_SOURCES], "source string"
+    )
+    v = build_verdicts(corr, ref_stats=None, allowed_sources=dim)
+    return remediation_plan(v)
+
+
 def q_seq_pipeline_verdicts(spark, sf_dir):
     """Full validation pipeline over the derived sequence view. With no
     reference snapshot the six emitted checks (missing ×3, length
@@ -747,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_groups": q_simhash_groups,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
+        "q_remediation": q_remediation,
         # engine-only (rows-only check): driver-fit forest, no SQL analogue
         "q_isolation_forest": q_isolation_forest,
     }
@@ -1111,6 +1139,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_seq_pipeline_verdicts": _verdicts_oracle("verdicts"),
         "q_report_json": _verdicts_oracle("report"),
+        "q_remediation": _verdicts_oracle(
+            "remediation", seq_sql=_SEQ_CORRUPTED_ORACLE, allowed=10
+        ),
     }
 
 
@@ -1316,17 +1347,35 @@ def _metric_drift_oracle() -> str:
 
 _ALLOWED_20 = ",".join(f"'src{i}'" for i in range(20))
 
+# corrupted twin of _SEQ_ORACLE used by q_remediation: plants null doc_ids
+# (every 97th) and duplicate keys (doc_id mod 450) so missing / uniqueness /
+# referential all fire — mirrored exactly in the Spark query
+_SEQ_CORRUPTED_ORACLE = """
+    SELECT CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE CAST(doc_id % 450 AS VARCHAR) END AS doc_id,
+           len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS n_tok,
+           source,
+           CAST(doc_id % 8 AS INT) AS part_id
+    FROM documents
+"""
 
-def _verdicts_oracle(shape: str) -> str:
+
+def _verdicts_oracle(
+    shape: str, seq_sql: str | None = None, allowed: int = 20
+) -> str:
     """DuckDB mirror of ``plans.pipeline.build_verdicts`` over the derived
     sequence view with ref_stats=None, allowed = src0..src19: the six
     deterministic checks (missing ×3, length_consistency, uniqueness,
     referential) with the engine's exact pct/severity/recommendation
     chains (functions/verdicts.py, config.py thresholds).
 
-    shape='verdicts' → the raw verdict rows (q_seq_pipeline_verdicts);
-    shape='report'  → the JSON-roundtrip rows (q_report_json)."""
+    shape='verdicts'    → the raw verdict rows (q_seq_pipeline_verdicts);
+    shape='report'      → the JSON-roundtrip rows (q_report_json);
+    shape='remediation' → failed verdicts joined to the remediation rules
+                          table (q_remediation)."""
     mk_pct = "ROUND((CAST({x} AS DOUBLE) / n_rows) * 100, 2)"
+    seq_sql = seq_sql or _SEQ_ORACLE
+    allowed_list = ",".join(f"'src{i}'" for i in range(allowed))
 
     def missing(col, rec_nonzero):
         pct = mk_pct.format(x=f"null_{col}")
@@ -1387,14 +1436,39 @@ def _verdicts_oracle(shape: str) -> str:
             SELECT part_id, "check", "column", value, pct, severity,
                    recommendation, passed
             FROM v ORDER BY part_id, "check", "column" """
-    else:
+    elif shape == "report":
         select = """
             SELECT 'gate_run' AS run_id, part_id,
                    "check" || ':' || "column" AS check_key,
                    value, pct, severity, recommendation, passed
             FROM v ORDER BY part_id, check_key """
+    else:  # remediation: mirror functions.remediation.remediation_plan
+        from data_drift_monitoring_spark.functions.remediation import (
+            DEFAULT_RULES,
+        )
+
+        def esc(s: str) -> str:
+            return s.replace("'", "''")
+
+        values = ",\n              ".join(
+            f"('{c}', '{s}', '{p}', '{a}', '{esc(sn)}')"
+            for c, s, p, a, sn in DEFAULT_RULES
+        )
+        select = f"""
+            , rules("check", severity, priority, action, snippet) AS (
+              VALUES {values}
+            )
+            SELECT v.part_id, v."check", v."column", v.severity,
+                   COALESCE(r.priority, 'medium') AS priority,
+                   COALESCE(r.action, 'investigate') AS action,
+                   replace(COALESCE(r.snippet, '# investigate ''{{column}}'''),
+                           '{{column}}', v."column") AS snippet
+            FROM v LEFT JOIN rules r
+              ON r."check" = v."check" AND r.severity = v.severity
+            WHERE NOT v.passed
+            ORDER BY v.part_id, v."check" """
     return f"""
-        WITH seq AS ({_SEQ_ORACLE}),
+        WITH seq AS ({seq_sql}),
         p AS (
           SELECT part_id,
                  COUNT(*) AS n_rows,
@@ -1403,7 +1477,7 @@ def _verdicts_oracle(shape: str) -> str:
                  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
                  CAST(SUM(CASE WHEN n_tok IS NOT NULL AND n_tok <> n_tok
                           THEN 1 ELSE 0 END) AS BIGINT) AS len_mismatch,
-                 CAST(SUM(CASE WHEN source IS NULL OR source NOT IN ({_ALLOWED_20})
+                 CAST(SUM(CASE WHEN source IS NULL OR source NOT IN ({allowed_list})
                           THEN 1 ELSE 0 END) AS BIGINT) AS violations
           FROM seq GROUP BY part_id
         ),

@@ -140,9 +140,13 @@ def dataset_metadata(
     max_categorical: int = 10,
 ) -> dict:
     """file_handler.compute_metadata equivalent (``:247-324``): one wide
-    aggregation pass via ``column_profile`` + per-categorical top-k.
+    aggregation pass via ``column_profile`` + ONE melt pass for all
+    categorical top-k (a melt of (col, value) pairs into a single
+    groupBy + per-col window, instead of a scan + shuffle per column —
+    the upload path runs a fixed 2 aggregate jobs regardless of width).
     Returns a plain dict shaped like the reference's metadata JSON."""
-    from ..operators.histogram import top_k_values
+    from pyspark.sql import Window
+
     from ..operators.stats import column_profile
 
     tagged = df.withColumn("_p", F.lit(0))
@@ -159,6 +163,34 @@ def dataset_metadata(
         for c, d in dtypes.items()
         if d == "string" and c in by_col
     ][:max_categorical]
+
+    top_by_col: dict[str, dict] = {c: {} for c in cat_cols}
+    if cat_cols:
+        pairs = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        for c in cat_cols
+                    ]
+                )
+            ).alias("cv")
+        ).select("cv.col", "cv.value")
+        w = Window.partitionBy("col").orderBy(
+            F.desc("cnt"), F.asc_nulls_last("value")
+        )
+        topk = (
+            pairs.groupBy("col", "value")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= config.topk_values)
+            .collect()
+        )
+        for r in sorted(topk, key=lambda r: (r["col"], r["_rn"])):
+            top_by_col[r["col"]][str(r["value"])] = int(r["cnt"])
 
     meta = {
         "num_rows": int(n_rows),
@@ -180,12 +212,7 @@ def dataset_metadata(
         "categorical_summary": {
             c: {
                 "unique_count": int(by_col[c]["approx_distinct"]),
-                "top_values": {
-                    str(r["value"]): int(r["cnt"])
-                    for r in top_k_values(
-                        df, c, config.topk_values
-                    ).collect()
-                },
+                "top_values": top_by_col[c],
             }
             for c in cat_cols
         },

@@ -1,1 +1,7 @@
-from .monitor import start_monitor, windowed_event_counts  # noqa: F401
+from .monitor import (  # noqa: F401
+    alerts_from_verdicts,
+    kafka_stream,
+    parse_kafka_sequences,
+    start_monitor,
+    windowed_event_counts,
+)

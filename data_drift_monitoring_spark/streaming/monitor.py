@@ -25,15 +25,80 @@ the batch operators gives identical semantics in both modes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..schema import SEQUENCES_SCHEMA
 
+# severity → rank for alert filtering; covers the quality chains
+# (low/medium/high) and the drift chains (moderate/large)
+_SEV_RANK = {"none": 0, "low": 1, "medium": 2, "moderate": 2,
+             "high": 3, "large": 3}
+
+
+def _severity_rank(sev: Column) -> Column:
+    expr = F.lit(0)
+    for name, rank in _SEV_RANK.items():
+        expr = F.when(sev == name, rank).otherwise(expr)
+    return expr
+
+
+def alerts_from_verdicts(
+    verdicts: DataFrame, min_severity: str = "medium"
+) -> DataFrame:
+    """Failed verdicts at/above ``min_severity`` → alert rows — the
+    reference's sketched ``alerts_stream.py`` semantics (README.md:199) as
+    a pure transformation usable in both batch and foreachBatch. Output
+    adds ``alert_level`` ('critical' for high/large, else 'warning');
+    delivery (email/Slack webhook) is a sink concern layered on the
+    alerts table this produces."""
+    floor = _SEV_RANK.get(min_severity, 2)
+    rank = _severity_rank(F.col("severity"))
+    return verdicts.filter(~F.col("passed") & (rank >= floor)).withColumn(
+        "alert_level", F.when(rank >= 3, "critical").otherwise("warning")
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    options: dict | None = None,
+) -> DataFrame:
+    """Kafka source for the monitor (reference ``streaming/kafka_consumer.py``
+    intent, README.md:23,196-199): one JSON sequence document per record.
+    Requires the spark-sql-kafka package on the classpath (not bundled in
+    this sandbox — the reader construction is exercised here, the parse
+    path is unit-tested on kafka-shaped batches via
+    ``parse_kafka_sequences``)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return parse_kafka_sequences(reader.load())
+
+
+def parse_kafka_sequences(raw: DataFrame) -> DataFrame:
+    """Kafka record batch (key/value binary + topic/partition/offset) →
+    SEQUENCES_SCHEMA rows. Pure column transformation: works identically
+    on a streaming kafka source and on a batch DataFrame shaped like one
+    (which is how it is tested without a broker)."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), SEQUENCES_SCHEMA
+        ).alias("seq")
+    )
+    return parsed.select("seq.*")
+
 
 def start_monitor(
     spark: SparkSession,
-    input_dir: str,
+    input_dir: str | None,
     output_dir: str,
     checkpoint_dir: str,
     ref_stats: DataFrame | None = None,
@@ -41,22 +106,41 @@ def start_monitor(
     ref_digests: DataFrame | None = None,
     config: EngineConfig = DEFAULT_CONFIG,
     available_now: bool = True,
+    source: str = "files",
+    kafka_options: dict | None = None,
+    alerts_dir: str | None = None,
+    min_alert_severity: str = "medium",
 ):
-    """Stream-validate arriving sequence files; returns the StreamingQuery.
+    """Stream-validate arriving sequence batches; returns the StreamingQuery.
 
     Each micro-batch runs the full verdict pipeline and appends to
-    ``output_dir`` with the micro-batch id as lineage. ``available_now=True``
-    processes the current backlog then stops (the "monitoring re-run" mode);
-    ``False`` keeps polling — both share the checkpoint, so a crashed run
-    resumes without reprocessing finished batches.
+    ``output_dir`` with the micro-batch id as lineage; when ``alerts_dir``
+    is set, failed verdicts at/above ``min_alert_severity`` are also
+    appended there as alert rows (the alerts-stream sink).
+    ``available_now=True`` processes the current backlog then stops (the
+    "monitoring re-run" mode); ``False`` keeps polling — both share the
+    checkpoint, so a crashed run resumes without reprocessing finished
+    batches. ``source='kafka'`` swaps the file landing dir for a Kafka
+    topic (kafka_options: bootstrap_servers, topic, ...); everything
+    downstream of the readStream is identical.
     """
     from ..plans.pipeline import build_verdicts, release_cached
 
-    stream = (
-        spark.readStream.schema(SEQUENCES_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_dir)
-    )
+    if source == "kafka":
+        opts = dict(kafka_options or {})
+        stream = kafka_stream(
+            spark,
+            opts.pop("bootstrap_servers"),
+            opts.pop("topic"),
+            opts.pop("starting_offsets", "earliest"),
+            opts,
+        )
+    else:
+        stream = (
+            spark.readStream.schema(SEQUENCES_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(input_dir)
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -69,9 +153,15 @@ def start_monitor(
             config=config,
         )
         try:
-            built.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(output_dir)
+            verdicts = built.withColumn("batch_id", F.lit(batch_id))
+            verdicts.write.mode("append").parquet(output_dir)
+            if alerts_dir is not None:
+                alerts_from_verdicts(
+                    spark.read.parquet(output_dir).filter(
+                        F.col("batch_id") == batch_id
+                    ),
+                    min_alert_severity,
+                ).write.mode("append").parquet(alerts_dir)
         finally:
             # unpersist per micro-batch: a long-running stream must not
             # accumulate cached plans in the SQL CacheManager

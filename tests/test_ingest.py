@@ -135,3 +135,31 @@ def test_compare_metadata_against_baseline(spark, small_df):
     assert mv["name"]["baseline_pct"] == 0.0 and mv["name"]["current_pct"] > 20
 
     assert no_baseline()["has_baseline"] is False
+
+
+def test_dataset_metadata_action_count_fixed(spark, small_df, monkeypatch):
+    """The upload metadata path must run a fixed number of aggregate
+    actions however wide the table is: one wide profile collect + one
+    melted top-k collect — never an action per categorical column (the
+    old path ran top_k_values once per column)."""
+    import pyspark.sql as psql
+
+    wide = small_df
+    for i in range(12):  # add 12 extra categorical columns
+        wide = wide.withColumn(f"cat{i}", F.concat(F.lit(f"v{i}_"),
+                                                   (F.col("id") % 3)))
+    calls = {"n": 0}
+    orig = psql.DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(psql.DataFrame, "collect", counting)
+    meta = dataset_metadata(wide)
+    assert calls["n"] <= 2, f"dataset_metadata ran {calls['n']} actions"
+    assert len(meta["categorical_summary"]) == 10  # max_categorical cap
+    some = next(iter(meta["categorical_summary"].values()))
+    assert some["top_values"] and all(
+        isinstance(v, int) for v in some["top_values"].values()
+    )

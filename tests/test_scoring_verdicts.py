@@ -125,3 +125,52 @@ def test_missing_recommendation_dtype_tree(spark):
         _eval(spark, rec(F.lit(5.0), F.lit("timestamp"), F.lit(0.0)))
         == "forward_fill"
     )
+
+
+def test_remediation_rules_engine(spark, tmp_path):
+    """Rules engine: failed verdicts → prioritized actions with snippet
+    substitution; JSON rules file round-trips; unmatched (check, severity)
+    falls back to investigate/medium."""
+    import json
+
+    from data_drift_monitoring_spark.functions.remediation import (
+        DEFAULT_RULES,
+        load_rules,
+        remediation_plan,
+        remediation_report,
+    )
+
+    verdicts = spark.createDataFrame(
+        [
+            (0, "missing_values", "name", 60.0, 60.0, "high", "drop_column", False),
+            (0, "uniqueness", "doc_id", 5.0, 2.0, "medium", "review_and_remove", False),
+            (1, "referential", "source", 1.0, 0.5, "low", "quarantine_unknown_sources", False),
+            (1, "missing_values", "age", 0.0, 0.0, "low", "no_action", True),
+            (1, "custom_check", "x", 1.0, 1.0, "weird", "n/a", False),
+        ],
+        "part_id int, check string, column string, value double, pct double,"
+        " severity string, recommendation string, passed boolean",
+    )
+    plan = remediation_plan(verdicts).collect()
+    by = {(r["part_id"], r["check"]): r for r in plan}
+    assert len(plan) == 4  # the passed row is excluded
+    assert by[(0, "missing_values")]["action"] == "drop_column"
+    assert by[(0, "missing_values")]["snippet"] == "df = df.drop('name')"
+    assert by[(0, "missing_values")]["priority"] == "high"
+    assert by[(1, "custom_check")]["action"] == "investigate"
+    assert by[(1, "custom_check")]["priority"] == "medium"
+    # priority-sorted: first row is the high one
+    assert plan[0]["priority"] == "high"
+
+    # JSON rules file round-trip (remediation_rules.json semantics)
+    p = tmp_path / "remediation_rules.json"
+    p.write_text(json.dumps([
+        {"check": c, "severity": s, "priority": pr, "action": a, "snippet": sn}
+        for c, s, pr, a, sn in DEFAULT_RULES
+    ]))
+    assert load_rules(str(p)) == DEFAULT_RULES
+
+    rep = {r["part_id"]: r for r in remediation_report(
+        remediation_plan(verdicts), "r1").collect()}
+    assert rep[0]["n_actions"] == 2 and rep[0]["n_high"] == 1
+    assert "df = df.drop('name')" in rep[0]["actions_json"]

@@ -110,3 +110,80 @@ def test_stream_monitor_with_reference_artifacts(
         ).collect()
     }
     assert {6, 7} <= psi_large
+
+
+def test_parse_kafka_sequences_roundtrip(spark):
+    """Kafka value-JSON → SEQUENCES_SCHEMA rows, tested on a batch frame
+    shaped like a kafka source (no broker in the sandbox)."""
+    import json
+
+    from data_drift_monitoring_spark.streaming import parse_kafka_sequences
+
+    docs = [
+        {"part_id": 0, "doc_id": "a", "tokens": [1, 2, 3], "n_tok": 3,
+         "source": "web"},
+        {"part_id": 1, "doc_id": "b", "tokens": [9], "n_tok": 1,
+         "source": "books"},
+    ]
+    raw = spark.createDataFrame(
+        [
+            ("k0".encode(), json.dumps(d).encode(), "seq", 0, i, None)
+            for i, d in enumerate(docs)
+        ],
+        "key binary, value binary, topic string, partition int, offset long,"
+        " timestamp timestamp",
+    )
+    out = sorted(
+        parse_kafka_sequences(raw).collect(), key=lambda r: r["doc_id"]
+    )
+    assert [r["doc_id"] for r in out] == ["a", "b"]
+    assert out[0]["tokens"] == [1, 2, 3] and out[0]["n_tok"] == 3
+    assert out[1]["source"] == "books"
+
+
+def test_alerts_from_verdicts_severity_floor(spark):
+    from data_drift_monitoring_spark.streaming import alerts_from_verdicts
+
+    v = spark.createDataFrame(
+        [
+            (0, "missing_values", "a", "low", False),
+            (0, "uniqueness", "doc_id", "medium", False),
+            (1, "referential", "source", "high", False),
+            (1, "drift_psi", "n_tok", "large", False),
+            (2, "missing_values", "b", "high", True),  # passed → no alert
+        ],
+        "part_id int, check string, column string, severity string,"
+        " passed boolean",
+    )
+    out = {(r["part_id"], r["check"]): r for r in
+           alerts_from_verdicts(v, "medium").collect()}
+    assert set(out) == {(0, "uniqueness"), (1, "referential"),
+                        (1, "drift_psi")}
+    assert out[(0, "uniqueness")]["alert_level"] == "warning"
+    assert out[(1, "referential")]["alert_level"] == "critical"
+    assert out[(1, "drift_psi")]["alert_level"] == "critical"
+
+
+def test_stream_monitor_alert_sink(spark, tmp_path, allowed_sources_df):
+    """Planted referential violations must surface in the alerts table;
+    the clean part of the stream produces none."""
+    from data_drift_monitoring_spark.generator import generate_sequences
+
+    inp = str(tmp_path / "landing3")
+    out = str(tmp_path / "verdicts3")
+    ckpt = str(tmp_path / "ckpt3")
+    alerts = str(tmp_path / "alerts3")
+    generate_sequences(inp, "cur_drifted", rows=2000, num_partitions=8)
+
+    q = start_monitor(
+        spark, inp, out, ckpt,
+        allowed_sources=allowed_sources_df,
+        alerts_dir=alerts,
+        min_alert_severity="medium",
+    )
+    q.awaitTermination(120)
+    a = spark.read.parquet(alerts)
+    rows = a.collect()
+    assert rows and all(not r["passed"] for r in rows)
+    assert {"warning", "critical"} >= {r["alert_level"] for r in rows}
+    assert any(r["check"] == "referential" for r in rows)
