@@ -285,10 +285,13 @@ def _simhash64(words_hashes: pd.Series) -> pd.Series:
     """64-bit SimHash from per-word 64-bit hashes (Charikar 2002):
     bit b of the signature = sign of Σ_w (±1 by bit b of hash(w)).
 
-    Fully batch-vectorized: the ragged hash lists are flattened once, the
-    per-row bit votes are a single segment-sum (np.add.at on the flat
-    (total_hashes × 64) bit matrix), and the 64 sign bits are packed with
-    one shift-dot — no per-row or per-bit Python loops."""
+    Fully batch-vectorized: the ragged hash lists are flattened once,
+    expanded to a uint8 bit matrix via np.unpackbits on the little-endian
+    byte view, per-row bit votes computed with ONE contiguous segment-sum
+    (np.add.reduceat over the flattened row boundaries), and the 64 sign
+    bits packed with one shift-dot. No per-row or per-bit Python loops:
+    measured 5.5× the per-row-numpy variant on 200k short docs and 1.4×
+    on 50k long docs (scripts/bench_simhash.py)."""
     n = len(words_hashes)
     out = np.zeros(n, dtype=np.int64)
     lens = np.fromiter(
@@ -304,17 +307,20 @@ def _simhash64(words_hashes: pd.Series) -> pd.Series:
             if h is not None and len(h)
         ]
     )
-    row_idx = np.repeat(np.arange(n), lens)
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-    votes = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(votes, row_idx, bits)
-    v = votes * 2 - lens[:, None]  # (+1/-1 sums)
-    sig = ((v > 0).astype(np.uint64) << shifts).sum(
-        axis=1, dtype=np.uint64
+    # (total, 64) uint8 bit matrix; little-endian byte view keeps bit i of
+    # the word at column i
+    bits = np.unpackbits(
+        flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
     nonempty = lens > 0
-    out[nonempty] = sig[nonempty].astype(np.int64)
+    nl = lens[nonempty]
+    starts = np.zeros(len(nl), dtype=np.int64)
+    np.cumsum(nl[:-1], out=starts[1:])
+    votes = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    v = votes * 2 - nl[:, None]  # (+1/-1 sums)
+    shifts = np.arange(64, dtype=np.uint64)
+    sig = ((v > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sig.astype(np.int64)
     return pd.Series(out)
 
 
@@ -433,21 +439,26 @@ def embedding_near_duplicates(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    va = d.select(F.col("k").alias("a"), F.col("v").alias("va"))
-    vb = d.select(F.col("k").alias("b"), F.col("v").alias("vb"))
+    # norms are per-vector, not per-pair: compute once before the join-back
+    # so each candidate pair pays one dot product, not three array passes
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    dn = d.withColumn("_nrm", norm)
+    va = dn.select(
+        F.col("k").alias("a"), F.col("v").alias("va"), F.col("_nrm").alias("na")
+    )
+    vb = dn.select(
+        F.col("k").alias("b"), F.col("v").alias("vb"), F.col("_nrm").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
-        )
     )
     return (
         pairs.join(va.hint("shuffle_hash"), on="a")
         .join(vb.hint("shuffle_hash"), on="b")
-        .select(
-            "a", "b", (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cosine")
-        )
+        .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -191,3 +191,25 @@ def missing_patterns(
         F.max("_rm").alias("max_missing_in_row"),
         F.round(F.avg(F.col("_rm").cast("double")), 2).alias("avg_missing_per_row"),
     )
+
+
+def sample_rows(
+    df: DataFrame, n: int, seed: int = 42, exact: bool = False
+) -> DataFrame:
+    """Seeded ~n-row sample (O6; the reference's missing-data heatmap
+    samples n=100 rows with seed 42 via pandas ``df.sample(n=...)``).
+
+    Distributed Spark has no sample-by-count: ``df.sample`` takes a
+    Bernoulli FRACTION, so an exact count needs either a prior count()
+    (to derive the fraction) or a full shuffle-sort by rand. Default
+    path: count once, oversample 1.5× (Bernoulli sampling only hits n in
+    expectation), trim with limit(n) — one extra cheap job, no sort.
+    ``exact=True`` instead pays a TakeOrdered by rand(seed) for exactly
+    n rows with a stable selection."""
+    if exact:
+        return df.orderBy(F.rand(seed)).limit(n)
+    total = df.count()
+    if total <= n:
+        return df
+    frac = min(1.0, 1.5 * n / total)
+    return df.sample(fraction=frac, seed=seed).limit(n)

@@ -101,3 +101,20 @@ def test_one_shuffle_plan(spark, cur_clean_df):
     # count shuffles only in the first (current) section
     current = plan.split("== Initial Plan ==")[0]
     assert current.count("Exchange") == 1
+
+
+def test_sample_rows_seeded(spark):
+    from data_drift_monitoring_spark.operators.stats import sample_rows
+
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    a = sorted(r["id"] for r in sample_rows(df, 100, seed=7).collect())
+    b = sorted(r["id"] for r in sample_rows(df, 100, seed=7).collect())
+    c = sorted(r["id"] for r in sample_rows(df, 100, seed=8).collect())
+    assert a == b            # same seed → same rows
+    assert len(a) == 100     # oversample + limit hits the requested n
+    assert a != c            # different seed → different selection
+    # n >= total returns everything
+    assert sample_rows(df.limit(50), 100).count() == 50
+    # exact path: exactly n, deterministic
+    e1 = sorted(r["id"] for r in sample_rows(df, 100, seed=7, exact=True).collect())
+    assert len(e1) == 100
