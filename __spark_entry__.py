@@ -346,12 +346,19 @@ def q_drift_verdict_sources(spark, sf_dir):
     """Categorical drift of documents.source between doc_id halves with the
     PSI severity classification — verdict-shaped output."""
     d = _read(spark, sf_dir, "documents")
-    mid = d.agg(F.percentile(F.col("doc_id").cast("double"), F.lit(0.5))).collect()[0][0]
+    # median as a broadcast one-row frame → the whole query is ONE job
+    # (no driver round-trip between the quantile and the split)
+    med = d.agg(
+        F.percentile(F.col("doc_id").cast("double"), F.lit(0.5)).alias("_mid")
+    )
+    dm = d.crossJoin(F.broadcast(med))
     cur = _hist.categorical_counts(
-        d.filter(F.col("doc_id") > mid), "source", partition_col=None, salted=False
+        dm.filter(F.col("doc_id") > F.col("_mid")).drop("_mid"),
+        "source", partition_col=None, salted=False,
     )
     ref = _hist.categorical_counts(
-        d.filter(F.col("doc_id") <= mid), "source", partition_col=None, salted=False
+        dm.filter(F.col("doc_id") <= F.col("_mid")).drop("_mid"),
+        "source", partition_col=None, salted=False,
     )
     out = _drift.drift_stats(cur, ref, partition_col=None)
     return out.select(
