@@ -712,18 +712,53 @@ def q_remediation(spark, sf_dir):
     )
     from data_drift_monitoring_spark.plans.pipeline import build_verdicts
 
+    dim = spark.createDataFrame(
+        [(s,) for s in ALLOWED_DOC_SOURCES], "source string"
+    )
+    v = build_verdicts(
+        _corrupted_view(spark, sf_dir), ref_stats=None, allowed_sources=dim
+    )
+    return remediation_plan(v)
+
+
+def _corrupted_view(spark, sf_dir):
+    """Deterministically corrupted twin of the sequence view (mirrors
+    _SEQ_CORRUPTED_ORACLE): null doc_id every 97th, keys aliased mod 450."""
     seq = _sequences_view(spark, sf_dir)
     did = F.col("doc_id").cast("long")
-    corr = seq.withColumn(
+    return seq.withColumn(
         "doc_id",
         F.when(F.pmod(did, F.lit(97)) == 0, F.lit(None).cast("string"))
         .otherwise(F.pmod(did, F.lit(450)).cast("string")),
     )
-    dim = spark.createDataFrame(
+
+
+def q_score_trends(spark, sf_dir):
+    """Historical quality-score trend (reference README.md:79 'trending' /
+    historical_trends.py promise): two runs — clean vs corrupted+narrowed
+    dimension — scored by the weighted 30/25/25/20 formula
+    (quality_scorer.py:46-122), then the per-partition lag/delta/direction
+    trend. The oracle mirrors the scoring arithmetic and the window, so
+    the score formula itself is value-checked cross-engine."""
+    from data_drift_monitoring_spark.plans.pipeline import (
+        build_verdicts,
+        score_partitions,
+    )
+    from data_drift_monitoring_spark.plans.trends import trend_over_runs
+
+    dim20 = spark.createDataFrame(
+        [(f"src{i}",) for i in range(20)], "source string"
+    )
+    dim10 = spark.createDataFrame(
         [(s,) for s in ALLOWED_DOC_SOURCES], "source string"
     )
-    v = build_verdicts(corr, ref_stats=None, allowed_sources=dim)
-    return remediation_plan(v)
+    sa = score_partitions(
+        build_verdicts(_sequences_view(spark, sf_dir), allowed_sources=dim20)
+    ).select("part_id", F.lit(1).alias("run_seq"), "overall_score")
+    sb = score_partitions(
+        build_verdicts(_corrupted_view(spark, sf_dir), allowed_sources=dim10)
+    ).select("part_id", F.lit(2).alias("run_seq"), "overall_score")
+    return trend_over_runs(sa.unionByName(sb)).orderBy("part_id", "run_seq")
 
 
 def q_seq_pipeline_verdicts(spark, sf_dir):
@@ -782,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
         "q_remediation": q_remediation,
+        "q_score_trends": q_score_trends,
         # engine-only (rows-only check): driver-fit forest, no SQL analogue
         "q_isolation_forest": q_isolation_forest,
     }
@@ -1149,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "q_remediation": _verdicts_oracle(
             "remediation", seq_sql=_SEQ_CORRUPTED_ORACLE, allowed=10
         ),
+        "q_score_trends": _score_trends_oracle(),
     }
 
 
@@ -1574,6 +1611,72 @@ def _embedding_lsh_oracle() -> str:
         )
         SELECT a, b, ROUND(CAST(c AS DOUBLE), 4) AS cosine FROM p
         WHERE c >= 0.5 ORDER BY a, b
+    """
+
+
+def _score_trends_oracle() -> str:
+    """Mirror of score_partitions (quality_scorer.py:46-122 weights
+    30/25/25/20 over max-missing / uniqueness / contract-violation pcts)
+    for two runs, then the lag/delta/direction trend window."""
+
+    def one(tag: str, seq_sql: str, allowed: int) -> str:
+        allowed_list = ",".join(f"'src{i}'" for i in range(allowed))
+        pct = "ROUND((CAST({x} AS DOUBLE) / COUNT(*)) * 100, 2)"
+        return f"""
+        seq_{tag} AS ({seq_sql}),
+        p_{tag} AS (
+          SELECT part_id,
+                 {pct.format(x="SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)")} AS pct_doc,
+                 {pct.format(x="SUM(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)")} AS pct_tok,
+                 {pct.format(x="SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)")} AS pct_src,
+                 {pct.format(x="SUM(CASE WHEN n_tok IS NOT NULL AND n_tok <> n_tok THEN 1 ELSE 0 END)")} AS pct_lm,
+                 {pct.format(x=f"SUM(CASE WHEN source IS NULL OR source NOT IN ({allowed_list}) THEN 1 ELSE 0 END)")} AS pct_ref
+          FROM seq_{tag} GROUP BY part_id
+        ),
+        u_{tag} AS (
+          SELECT part_id, doc_id, COUNT(*) AS c
+          FROM seq_{tag} WHERE doc_id IS NOT NULL GROUP BY 1, 2
+        ),
+        ua_{tag} AS (
+          SELECT part_id,
+                 ROUND((CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                        / SUM(c)) * 100, 2) AS dup_pct
+          FROM u_{tag} GROUP BY 1
+        ),
+        s_{tag} AS (
+          SELECT p.part_id,
+                 ROUND(
+                   GREATEST(0.0, 100.0 - GREATEST(pct_doc, pct_tok, pct_src)) * 30.0 / 100
+                 + GREATEST(0.0, 100.0 - COALESCE(ua.dup_pct, 0.0)) * 25.0 / 100
+                 + GREATEST(0.0, 100.0 - LEAST(pct_ref + pct_lm, 100.0)) * 25.0 / 100
+                 + 100.0 * 20.0 / 100, 2) AS overall_score
+          FROM p_{tag} p LEFT JOIN ua_{tag} ua USING (part_id)
+        )"""
+
+    return f"""
+        WITH {one('a', _SEQ_ORACLE, 20)},
+        {one('b', _SEQ_CORRUPTED_ORACLE, 10)},
+        scores AS (
+          SELECT part_id, 1 AS run_seq, overall_score FROM s_a
+          UNION ALL
+          SELECT part_id, 2 AS run_seq, overall_score FROM s_b
+        ),
+        t AS (
+          SELECT part_id, run_seq, overall_score,
+                 LAG(overall_score) OVER (
+                   PARTITION BY part_id ORDER BY run_seq
+                 ) AS prev_overall_score
+          FROM scores
+        )
+        SELECT part_id, run_seq, overall_score, prev_overall_score,
+               ROUND(overall_score - prev_overall_score, 2) AS delta,
+               CASE WHEN prev_overall_score IS NULL THEN 'baseline'
+                    WHEN ROUND(overall_score - prev_overall_score, 2) > 0
+                         THEN 'improving'
+                    WHEN ROUND(overall_score - prev_overall_score, 2) < 0
+                         THEN 'degrading'
+                    ELSE 'stable' END AS direction
+        FROM t ORDER BY part_id, run_seq
     """
 
 

@@ -179,3 +179,48 @@ def test_violation_rows_match_verdict_counts(
         assert counts.get((p, "token_equality"), 0) == verd[
             (p, "token_equality", "tokens")
         ]
+
+
+def test_score_and_check_history_trends(
+    spark, cur_clean_df, cur_drifted_df, allowed_sources_df, tmp_path_factory
+):
+    """historical trends (reference README.md:79 promise): two persisted
+    runs — clean then drifted — produce an ordered per-partition score
+    trend with deltas and a per-check value history."""
+    from datetime import datetime, timezone
+
+    from data_drift_monitoring_spark.plans.trends import (
+        check_history,
+        score_history,
+    )
+
+    io = ParquetTableIO(spark, str(tmp_path_factory.mktemp("wh_trends")))
+    t1 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    t2 = datetime(2026, 1, 2, tzinfo=timezone.utc)
+    run_checks(spark, cur_clean_df, io, run_id="r1",
+               allowed_sources=allowed_sources_df, now=t1)
+    run_checks(spark, cur_drifted_df, io, run_id="r2",
+               allowed_sources=allowed_sources_df, now=t2)
+
+    hist = score_history(io).collect()
+    by = {(r["part_id"], r["run_id"]): r for r in hist}
+    parts = {r["part_id"] for r in hist}
+    assert len(by) == len(hist)  # one row per (part, run)
+    for p in parts:
+        first, second = by[(p, "r1")], by[(p, "r2")]
+        assert first["direction"] == "baseline"
+        assert first["prev_overall_score"] is None
+        assert second["prev_overall_score"] == first["overall_score"]
+        assert second["direction"] in ("degrading", "stable")
+    # the drifted fixture corrupts partitions 2 (nulls) and 3 (dups):
+    # their second run must actually degrade
+    assert by[(2, "r2")]["direction"] == "degrading"
+    assert by[(3, "r2")]["direction"] == "degrading"
+    assert by[(2, "r2")]["delta"] < 0
+
+    uh = check_history(io, "uniqueness", "doc_id").collect()
+    ub = {(r["part_id"], r["run_seq"] if "run_seq" in r else r["run_ts"]): r
+          for r in uh}
+    assert len(uh) == 2 * len(parts)
+    dup3 = [r for r in uh if r["part_id"] == 3 and r["direction"] != "baseline"]
+    assert dup3 and dup3[0]["value"] > 0  # duplicate rows appear in run 2
