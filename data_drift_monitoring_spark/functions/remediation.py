@@ -49,6 +49,12 @@ DEFAULT_RULES: list[tuple[str, str, str, str, str]] = [
      "bad = df.join(allowed, '{column}', 'left_anti'); df = df.join(allowed, '{column}', 'semi')"),
     ("token_equality", "high", "high", "recompute_tokens",
      "df = retokenize(df, '{column}')"),
+    ("outliers", "high", "high", "clip_or_investigate",
+     "df = clip_outliers(df, '{column}', lo, hi)"),
+    ("outliers", "medium", "medium", "winsorize",
+     "df = clip_outliers(df, '{column}', lo, hi)"),
+    ("outliers", "low", "low", "investigate",
+     "# inspect the tail of '{column}' before transforming"),
     ("drift_psi", "large", "high", "retrain_or_investigate",
      "# PSI large on '{column}': refresh reference or retrain"),
     ("drift_psi", "moderate", "medium", "monitor_drift",

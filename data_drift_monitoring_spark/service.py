@@ -221,6 +221,161 @@ class ValidationService:
             self.io.append(row, "quality_reports")
         return report
 
+    # -- drift check (drift_check.py route — 0-byte in the reference; the
+    # -- README.md:45 intent: /detect_drift of current vs stored baseline)
+
+    def detect_drift(
+        self,
+        df_or_path: DataFrame | str,
+        baseline_version: str | None = None,
+        columns: list[str] | None = None,
+        bins: int = 20,
+    ) -> dict:
+        """PSI / KS / JS / chi² of every shared column of the current
+        dataset against the stored baseline snapshot, with the README.md:49
+        PSI classification. Numeric columns are binned on shared fixed
+        edges (combined min/max across both sides); string columns use
+        exact category counts. One drift_stats pass covers all columns."""
+        from .operators.drift import drift_stats
+        from .operators.histogram import categorical_counts, numeric_histogram
+        from .operators.stats import _is_numeric
+
+        df = (
+            read_dataset(self.spark, df_or_path)
+            if isinstance(df_or_path, str)
+            else df_or_path
+        )
+        version = baseline_version or self.io.latest_snapshot(BASELINE_TABLE)
+        base = self.io.read(BASELINE_TABLE, version)
+        dc, db = dict(df.dtypes), dict(base.dtypes)
+        shared = [
+            c for c in df.columns
+            if c in db and (columns is None or c in columns)
+        ]
+        numeric = [c for c in shared if _is_numeric(dc[c]) and _is_numeric(db[c])]
+        categorical = [c for c in shared if dc[c] == "string" and db[c] == "string"]
+        if not numeric and not categorical:
+            return {"baseline_version": version, "columns": {},
+                    "summary": {"n_columns": 0, "n_drifted": 0,
+                                "overall_drift": False}}
+
+        bounds: dict[str, tuple[float, float]] = {}
+        if numeric:
+            aggs = []
+            for c in numeric:
+                d = F.col(c).cast("double")
+                aggs += [F.min(d).alias(f"mn_{c}"), F.max(d).alias(f"mx_{c}")]
+            cur_b = df.agg(*aggs).collect()[0]
+            ref_b = base.agg(*aggs).collect()[0]
+            for c in numeric:
+                lo = min(x for x in (cur_b[f"mn_{c}"], ref_b[f"mn_{c}"])
+                         if x is not None)
+                hi = max(x for x in (cur_b[f"mx_{c}"], ref_b[f"mx_{c}"])
+                         if x is not None)
+                bounds[c] = (float(lo), float(hi) if hi > lo else float(lo) + 1.0)
+
+        def hists(src: DataFrame) -> DataFrame | None:
+            pieces = [
+                numeric_histogram(
+                    src, c, lo=bounds[c][0], hi=bounds[c][1], bins=bins,
+                    partition_col=None,
+                ).select("col", "bin", "cnt")
+                for c in numeric
+            ] + [
+                categorical_counts(
+                    src, c, partition_col=None, salted=False
+                ).select("col", "bin", "cnt")
+                for c in categorical
+            ]
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+            return out
+
+        rows = drift_stats(
+            hists(df), hists(base), partition_col=None
+        ).collect()
+        cols = {}
+        n_drifted = 0
+        for r in rows:
+            drifted = r["psi_drift"] != "none"
+            n_drifted += int(drifted)
+            cols[r["col"]] = {
+                "psi": float(r["psi"]),
+                "psi_drift": r["psi_drift"],
+                "ks_stat": float(r["ks_stat"]),
+                "js_divergence": float(r["js_divergence"]),
+                "chi2_stat": float(r["chi2_stat"]),
+                "chi2_dof": int(r["chi2_dof"]),
+                "n_current": int(r["n_cur"]),
+                "n_baseline": int(r["n_ref"]),
+                "drift_detected": drifted,
+                "recommendation": (
+                    "no_action" if r["psi_drift"] == "none"
+                    else "monitor_drift" if r["psi_drift"] == "moderate"
+                    else "retrain_or_investigate"
+                ),
+            }
+        return {
+            "baseline_version": version,
+            "columns": cols,
+            "summary": {
+                "n_columns": len(cols),
+                "n_drifted": n_drifted,
+                "overall_drift": n_drifted > 0,
+            },
+        }
+
+    # -- remediation (remediation.py route — 0-byte in the reference) ----
+
+    def remediate(self, report: dict, rules=None) -> list[dict]:
+        """Quality report (check_quality output) → prioritized remediation
+        actions via the rules engine (functions/remediation.DEFAULT_RULES;
+        pass ``rules`` from load_rules(remediation_rules.json) to
+        override). Driver-side — the report is already aggregated."""
+        from .functions.remediation import DEFAULT_RULES
+
+        rl = {(c, s): (p, a, sn) for c, s, p, a, sn in (rules or DEFAULT_RULES)}
+        t = self.config.thresholds
+        actions: list[dict] = []
+
+        def add(check: str, column: str | None, severity: str) -> None:
+            if severity in (None, "none"):
+                return
+            p, a, sn = rl.get(
+                (check, severity),
+                ("medium", "investigate", "# investigate '{column}'"),
+            )
+            actions.append(
+                {
+                    "check": check,
+                    "column": column,
+                    "severity": severity,
+                    "priority": p,
+                    "action": a,
+                    "snippet": sn.replace("{column}", column or "<row>"),
+                }
+            )
+
+        for d in report.get("missing_values", {}).get("details", []):
+            add("missing_values", d["column"], d["severity"])
+        dup = report.get("duplicates", {})
+        if dup.get("severity", "none") != "none":
+            add("uniqueness", None, dup["severity"])
+        for d in report.get("outliers", {}).get("details", []):
+            add(
+                "outliers",
+                d["column"],
+                _severity(
+                    float(d["outlier_percentage"]),
+                    t.outlier_low_pct,
+                    t.outlier_medium_pct,
+                ),
+            )
+        _prio = {"high": 0, "medium": 1, "low": 2}
+        actions.sort(key=lambda r: _prio.get(r["priority"], 3))
+        return actions
+
     def list_reports(self) -> list[str]:
         if not self.io.exists("quality_reports"):
             return []

@@ -93,3 +93,38 @@ def test_invalid_upload_rejected(svc, spark, tmp_path_factory):
     up = svc.upload(p)
     assert not up["success"]
     assert "minimum is 10" in up["errors"][0]
+
+
+def test_detect_drift_against_baseline(svc, clean_df, spark):
+    """drift_check route parity: the stored baseline vs a shifted current
+    dataset — the shifted numeric column must flag, a stable one must not."""
+    svc.create_baseline(clean_df)
+    shifted = clean_df.withColumn("score", F.col("score") + 40.0)
+    rep = svc.detect_drift(shifted)
+    assert rep["baseline_version"] in svc.list_baselines()
+    assert rep["columns"]["score"]["drift_detected"]
+    assert rep["columns"]["score"]["psi_drift"] in ("moderate", "large")
+    assert rep["columns"]["score"]["recommendation"] != "no_action"
+    # identical data → no drift anywhere
+    same = svc.detect_drift(clean_df)
+    assert not same["summary"]["overall_drift"]
+
+
+def test_remediate_from_quality_report(svc, spark):
+    """remediation route parity: dirty dataset → check_quality report →
+    prioritized actions from the rules engine."""
+    rows = [(i, None if i % 2 else "x", float(i)) for i in range(100)]
+    rows += [(0, "x", 0.0)] * 30          # duplicate rows
+    rows += [(9999, "x", 1e6)]            # an outlier value
+    df = spark.createDataFrame(rows, "id int, name string, score double")
+    report = svc.check_quality(df, persist=False)
+    actions = svc.remediate(report)
+    assert actions
+    checks = {a["check"] for a in actions}
+    assert "missing_values" in checks and "uniqueness" in checks
+    # priority-sorted high → low, snippets substituted
+    prios = [a["priority"] for a in actions]
+    order = {"high": 0, "medium": 1, "low": 2}
+    assert prios == sorted(prios, key=lambda p: order[p])
+    mv = next(a for a in actions if a["check"] == "missing_values")
+    assert "'name'" in mv["snippet"]
