@@ -67,6 +67,10 @@ HEADLINE = [
     "q_minhash_near_dup",
     "q_simhash_groups",
     "q_embedding_near_dup_lsh",
+    # round 2 additions
+    "q_ann_ivf",
+    "q_remediation",
+    "q_score_trends",
 ]
 
 
