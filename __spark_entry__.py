@@ -761,6 +761,52 @@ def q_score_trends(spark, sf_dir):
     return trend_over_runs(sa.unionByName(sb)).orderBy("part_id", "run_seq")
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing under the oracle gate: a media table derived
+    from documents (payload = UTF-8 bytes of text, media_type by
+    doc_id%3, duration = n_chars) through the REAL mapInPandas feature
+    extraction and video frame sampling. Everything deterministic is
+    value-checked in SQL — byte counts, feature dimensionality, and the
+    frame-explosion row count ceil(duration/100) — leaving only the
+    decode itself stubbed (no media libs in this container)."""
+    from data_drift_monitoring_spark.operators import multimodal as MM
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("m_"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("n_chars").cast("int").alias("duration_ms"),
+    )
+    types = media.select("media_id", "media_type")
+    feats = MM.extract_features(media, dim=8).join(types, on="media_id")
+    agg = feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        F.sum(F.size("feature").cast("long")).alias("total_feat_dims"),
+    )
+    frames = (
+        MM.sample_frames(media, every_ms=100)
+        .join(types, on="media_id")
+        .groupBy("media_type")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return (
+        agg.join(frames, on="media_type", how="left")
+        .select(
+            "media_type", "n_media", "total_bytes", "total_feat_dims",
+            F.coalesce(F.col("n_frames"), F.lit(0)).alias("n_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
 def q_seq_pipeline_verdicts(spark, sf_dir):
     """Full validation pipeline over the derived sequence view. With no
     reference snapshot the six emitted checks (missing ×3, length
@@ -818,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
         "q_remediation": q_remediation,
         "q_score_trends": q_score_trends,
+        "q_multimodal_meta": q_multimodal_meta,
         # engine-only (rows-only check): driver-fit forest, no SQL analogue
         "q_isolation_forest": q_isolation_forest,
     }
@@ -1186,6 +1233,18 @@ def oracle_sql() -> dict[str, str]:
             "remediation", seq_sql=_SEQ_CORRUPTED_ORACLE, allowed=10
         ),
         "q_score_trends": _score_trends_oracle(),
+        "q_multimodal_meta": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS media_type,
+                   COUNT(*) AS n_media,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                   CAST(8 * COUNT(*) AS BIGINT) AS total_feat_dims,
+                   CAST(SUM(CASE WHEN doc_id % 3 = 2 AND n_chars > 0
+                            THEN CAST(CEIL(n_chars / 100.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS n_frames
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
     }
 
 

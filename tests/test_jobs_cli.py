@@ -1,0 +1,62 @@
+"""spark-submit entry points driven in-process (main() with argv):
+detect_drift and remediate, the reference's promised route CLIs."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture()
+def prepared(spark, tmp_path):
+    from data_drift_monitoring_spark.service import ValidationService
+
+    clean = spark.range(200).select(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("u"), (F.col("id") % 7).cast("string")).alias("name"),
+        (F.col("id") % 50).cast("double").alias("score"),
+    )
+    wh = str(tmp_path / "wh")
+    svc = ValidationService(spark, wh)
+    svc.create_baseline(clean)
+    cur_path = str(tmp_path / "cur.parquet")
+    clean.withColumn("score", F.col("score") + 200.0).write.parquet(cur_path)
+    return wh, cur_path
+
+
+def test_detect_drift_cli(prepared, tmp_path):
+    from jobs.detect_drift import main
+
+    wh, cur = prepared
+    out = str(tmp_path / "drift.json")
+    rc = main(["--input", cur, "--warehouse", wh, "--out", out])
+    rep = json.loads(open(out).read())
+    assert rc == 2  # drift detected → nonzero exit for schedulers
+    assert rep["columns"]["score"]["drift_detected"]
+    assert rep["summary"]["overall_drift"]
+
+
+def test_remediate_cli(prepared, tmp_path, spark):
+    from jobs.remediate import main
+
+    wh, _ = prepared
+    dirty = spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        F.when(F.col("id") % 2 == 0, "x").alias("name"),  # 50% nulls
+        F.col("id").cast("double").alias("score"),
+    )
+    p = str(tmp_path / "dirty.parquet")
+    dirty.write.parquet(p)
+    out = str(tmp_path / "plan.json")
+    rc = main(["--input", p, "--warehouse", wh, "--out", out])
+    plan = json.loads(open(out).read())
+    assert rc == 2 and plan["n_actions"] >= 1
+    assert any(
+        a["check"] == "missing_values" and a["column"] == "name"
+        for a in plan["actions"]
+    )
