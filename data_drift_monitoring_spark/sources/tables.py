@@ -103,6 +103,28 @@ class ParquetTableIO:
         )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed managed table — Spark native bucketing, the
+    parquet-catalog analogue of Iceberg's ``bucket(N, col)`` partition
+    transform. Two tables bucketed on the same (column, N) equi-join with
+    ZERO exchanges: each bucket file pair is joined in place, which is
+    the co-located join the uniqueness/token-equality pass relies on at
+    10^12 rows (operators/invariants.py). An aggregation grouped on a
+    superset of the bucket column likewise needs no exchange
+    (HashPartitioning(col) satisfies the clustering)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
+
+
 class IcebergTableIO:
     """Thin adapter for a configured Iceberg catalog (not exercisable in the
     sandbox — no runtime jar; kept interface-compatible with ParquetTableIO
