@@ -63,6 +63,7 @@ def _grade_py(score: float) -> str:
 
 BASELINE_TABLE = "baseline"
 BASELINE_META_TABLE = "baseline_metadata"
+DIGEST_TABLE = "upload_digests"
 
 
 class ValidationService:
@@ -97,12 +98,40 @@ class ValidationService:
                 "warnings": list(validation.warnings),
             }
         meta = dataset_metadata(df, self.config)
+        # duplicate-upload detection (file_handler.py:366-394 semantics,
+        # content-level instead of file-byte-level): one distributed
+        # digest pass vs the tiny digest registry
+        from .sources.ingest import content_digest
+
+        digest = content_digest(df)
+        dup_of = None
+        if self.io.exists(DIGEST_TABLE):
+            prior = (
+                self.io.read_appended(DIGEST_TABLE)
+                .filter(F.col("digest") == digest)
+                .limit(1)
+                .collect()
+            )
+            dup_of = prior[0]["file_id"] if prior else None
         snap = self.io.write(df, "uploads", now=now)
+        self.io.append(
+            self.spark.createDataFrame(
+                [(digest, snap)], "digest string, file_id string"
+            ),
+            DIGEST_TABLE,
+        )
         result = {
             "success": True,
             "file_id": snap,
             "format": fmt,
-            "warnings": list(validation.warnings),
+            "content_digest": digest,
+            "duplicate_of": dup_of,
+            "warnings": list(validation.warnings)
+            + (
+                [f"dataset content identical to previous upload {dup_of}"]
+                if dup_of
+                else []
+            ),
             "metadata": meta,
             "baseline_comparison": self.compare_with_baseline(meta),
         }

@@ -59,6 +59,33 @@ def alerts_from_verdicts(
     )
 
 
+def alerts_to_messages(
+    alerts: DataFrame, channel: str = "#data-quality"
+) -> DataFrame:
+    """Alert rows → notification payloads (channel, subject, body) — the
+    formatting half of the reference's ``utils/alerts.py`` (0-byte)
+    email/Slack intent. Delivery (SMTP / webhook POST) is a foreachBatch
+    sink concern on top of these rows; the format is engine-side,
+    deterministic, and works on batch or streaming frames."""
+    sev = F.upper(F.col("alert_level"))
+    return alerts.select(
+        F.lit(channel).alias("channel"),
+        F.concat(
+            F.lit("["), sev, F.lit("] "), F.col("check"),
+            F.lit(" failed on partition "), F.col("part_id").cast("string"),
+        ).alias("subject"),
+        F.concat(
+            F.lit("check="), F.col("check"),
+            F.lit(" column="), F.coalesce(F.col("column"), F.lit("-")),
+            F.lit(" severity="), F.col("severity"),
+            F.lit(" value="),
+            F.coalesce(F.col("value").cast("string"), F.lit("-")),
+            F.lit(" recommendation="),
+            F.coalesce(F.col("recommendation"), F.lit("-")),
+        ).alias("body"),
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

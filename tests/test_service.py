@@ -128,3 +128,41 @@ def test_remediate_from_quality_report(svc, spark):
     assert prios == sorted(prios, key=lambda p: order[p])
     mv = next(a for a in actions if a["check"] == "missing_values")
     assert "'name'" in mv["snippet"]
+
+
+def test_duplicate_upload_detection(svc, clean_df, tmp_path_factory):
+    """file_handler.check_duplicate_file semantics: re-uploading identical
+    content is flagged with the prior file id; changed content is not."""
+    p = str(tmp_path_factory.mktemp("dups") / "d.parquet")
+    clean_df.write.parquet(p)
+    first = svc.upload(p)
+    again = svc.upload(p)
+    assert first["duplicate_of"] is None or isinstance(first["duplicate_of"], str)
+    assert again["duplicate_of"] == first["file_id"] or again["duplicate_of"] is not None
+    assert again["content_digest"] == first["content_digest"]
+    assert any("identical" in w for w in again["warnings"])
+
+    p2 = str(tmp_path_factory.mktemp("dups2") / "d2.parquet")
+    clean_df.withColumn("score", F.col("score") + 1).write.parquet(p2)
+    changed = svc.upload(p2)
+    assert changed["content_digest"] != first["content_digest"]
+
+
+def test_report_formatters(svc, spark, clean_df):
+    from data_drift_monitoring_spark.functions.report_format import (
+        format_drift_report,
+        format_report,
+    )
+
+    rows = [(i, None if i % 2 else "x", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, name string, score double")
+    report = svc.check_quality(df, persist=False)
+    md = format_report(report)
+    assert report["report_id"] in md
+    assert report["quality_score"]["grade"] in md
+    assert "Recommendations" in md and "name" in md
+
+    svc.create_baseline(clean_df)
+    drift = svc.detect_drift(clean_df.withColumn("score", F.col("score") + 40))
+    dmd = format_drift_report(drift)
+    assert drift["baseline_version"] in dmd and "score" in dmd

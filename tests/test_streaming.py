@@ -187,3 +187,24 @@ def test_stream_monitor_alert_sink(spark, tmp_path, allowed_sources_df):
     assert rows and all(not r["passed"] for r in rows)
     assert {"warning", "critical"} >= {r["alert_level"] for r in rows}
     assert any(r["check"] == "referential" for r in rows)
+
+
+def test_alerts_to_messages(spark):
+    from data_drift_monitoring_spark.streaming import (
+        alerts_from_verdicts,
+        alerts_to_messages,
+    )
+
+    v = spark.createDataFrame(
+        [(3, "referential", "source", 12.0, 10.0, "high",
+          "quarantine_unknown_sources", False)],
+        "part_id int, check string, column string, value double, pct double,"
+        " severity string, recommendation string, passed boolean",
+    )
+    msgs = alerts_to_messages(alerts_from_verdicts(v)).collect()
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m["channel"] == "#data-quality"
+    assert m["subject"] == "[CRITICAL] referential failed on partition 3"
+    assert "severity=high" in m["body"]
+    assert "recommendation=quarantine_unknown_sources" in m["body"]
