@@ -61,3 +61,55 @@ def test_sql_and_numpy_drift_agree(spark, cur_counts, ref_counts):
     for f in ("psi", "js_divergence", "ks_stat", "chi2_stat"):
         a, b = float(row[f]), float(np_out[f])
         assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12), (f, a, b)
+
+
+# -- SimHash: vectorized segment-sum vs the straightforward per-row blank --
+
+import numpy as np
+import pandas as pd
+
+
+def _simhash_perrow_blank(words_hashes):
+    """Independent per-row reference implementation of the Charikar
+    bit-vote (kept deliberately naive)."""
+    out = np.zeros(len(words_hashes), dtype=np.int64)
+    for i, hs in enumerate(words_hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int32
+        )
+        v = bits.sum(axis=0) * 2 - len(h)
+        sig = np.uint64(0)
+        for b in range(64):
+            if v[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+ragged = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            min_size=0, max_size=40,
+        ),
+    ),
+    min_size=0, max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=ragged)
+def test_vectorized_simhash_matches_perrow(rows):
+    from data_drift_monitoring_spark.operators.dedup import _simhash64
+
+    series = pd.Series(
+        [None if r is None else np.array(r, dtype=np.int64) for r in rows],
+        dtype=object,
+    )
+    a = _simhash_perrow_blank(series)
+    b = _simhash64.func(series)
+    assert (a == b).all()
