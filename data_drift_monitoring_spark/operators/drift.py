@@ -116,7 +116,12 @@ def drift_stats(
         (F.sum("nonzero_bin") - 1).alias("chi2_dof"),
         F.max("ecdf_gap").alias("ks_stat"),
     )
-    return out.withColumn("psi_drift", psi_classification(F.col("psi")))
+    out = out.withColumn("psi_drift", psi_classification(F.col("psi")))
+    # same contract as plans.pipeline.build_verdicts: the cached histogram
+    # is tracked on the result so repeated callers (e.g. a long-lived
+    # service's detect_drift) can release it after materialization
+    out._cached_intermediates = [cur]
+    return out
 
 
 def quantile_edges_from_hist(

@@ -321,9 +321,11 @@ class ValidationService:
                 out = out.unionByName(p)
             return out
 
-        rows = drift_stats(
-            hists(df), hists(base), partition_col=None
-        ).collect()
+        from .plans.pipeline import release_cached
+
+        stats = drift_stats(hists(df), hists(base), partition_col=None)
+        rows = stats.collect()
+        release_cached(stats)  # keep repeated service calls cache-bounded
         cols = {}
         n_drifted = 0
         for r in rows:
