@@ -14,6 +14,7 @@ touches K·nprobe/K of the data instead of all of it.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -92,24 +93,26 @@ def kmeans_centroids(
 
 
 def _cell_assign(vec_col, centroids: np.ndarray):
-    """Nearest-centroid id as a pure expression: argmin over literal
-    centroid arrays (K small). d² = |v|² - 2v·c + |c|²; |v|² is common →
-    argmin over (-2v·c + |c|²)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    scores = [
-        (
-            -2.0 * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
-            + float((c**2).sum())
-        )
-        for c in centroids
-    ]
-    best = scores[0]
-    best_i = F.lit(0)
-    for i in range(1, len(scores)):
-        cond = scores[i] < best
-        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-        best = F.when(cond, scores[i]).otherwise(best)
-    return best_i
+    """Nearest-centroid id via ONE Arrow-batched matrix multiply: the
+    (K × dim) centroid matrix is closed over (shipped once per worker),
+    each batch computes argmin(|c|² − 2·X·Cᵀ) — |v|² is common per row so
+    it drops out. A pure-expression argmin chain (K nested dot products
+    of dim literals each) was measured ~2.5 s of codegen/eval for 5k
+    rows at K=8 and grows linearly in K; the matmul is milliseconds and
+    holds to K in the thousands. Ties break to the lowest cell id (numpy
+    argmin), matching the expression form's strict-< chain."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        d2 = c_sq[None, :] - 2.0 * (x @ c.T)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return assign(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
 
 
 def ivf_index(
