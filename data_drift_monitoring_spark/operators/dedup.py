@@ -396,40 +396,29 @@ def embedding_near_duplicates(
     d = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
     v = F.col("v")
 
-    def _code(planes_m: np.ndarray):
-        bits = [
-            (
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(x)) for x in row]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0
-            ).cast("int")
-            for row in planes_m
-        ]
-        return F.concat_ws("", *[b.cast("string") for b in bits])
-
-    tbl = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                _code(
-                    np.random.default_rng(seed + t).standard_normal(
-                        (planes, dim)
-                    )
-                ).alias("code"),
-            )
+    # ALL tables' sign codes from ONE Arrow matmul: X (n × dim) against the
+    # stacked (tables·planes × dim) hyperplane matrix, sign bits packed to
+    # an int64 per table. A literal-expression variant (tables × planes
+    # zip_with dot products per row) costs seconds of codegen at even 48
+    # plane rows and grows linearly; this holds to hundreds of tables.
+    planes_m = np.concatenate(
+        [
+            np.random.default_rng(seed + t).standard_normal((planes, dim))
             for t in range(tables)
-        ]
+        ],
+        axis=0,
     )
-    banded = d.select("k", F.explode(tbl).alias("tb")).select(
-        "k", "tb.t", "tb.code"
-    )
+    pow2 = (1 << np.arange(planes)).astype(np.int64)
+    n_tables = tables
+
+    @pandas_udf("array<long>")
+    def _codes(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        bits = (x @ planes_m.T) > 0
+        codes = bits.reshape(len(x), n_tables, -1).astype(np.int64) @ pow2
+        return pd.Series([row.tolist() for row in codes])
+
+    banded = d.select("k", F.posexplode(_codes("v")).alias("t", "code"))
     banded = _salt_oversized(banded, ["t", "code"], "k", max_bucket_size)
     a = banded.select("t", "code", "_salt", F.col("k").alias("a"))
     b = banded.select("t", "code", "_salt", F.col("k").alias("b"))
