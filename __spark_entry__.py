@@ -761,6 +761,27 @@ def q_score_trends(spark, sf_dir):
     return trend_over_runs(sa.unionByName(sb)).orderBy("part_id", "run_seq")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: LSH-mined + exactly-verified pairs →
+    connected components (min-key cluster labels) — the step between pair
+    mining and keep-one-per-cluster dedup. The oracle recomputes the
+    exact pair set AND its transitive closure with a recursive CTE, so
+    the distributed label propagation is value-checked end to end."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = _dedup.minhash_verified_duplicates(
+        d, "doc_id", threshold=0.5, num_hashes=64, bands=32
+    )
+    cl = _dedup.duplicate_clusters(pairs)
+    return (
+        cl.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.max("k").alias("max_member"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing under the oracle gate: a media table derived
     from documents (payload = UTF-8 bytes of text, media_type by
@@ -865,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remediation": q_remediation,
         "q_score_trends": q_score_trends,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_dedup_clusters": q_dedup_clusters,
         # engine-only (rows-only check): driver-fit forest, no SQL analogue
         "q_isolation_forest": q_isolation_forest,
     }
@@ -1233,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
             "remediation", seq_sql=_SEQ_CORRUPTED_ORACLE, allowed=10
         ),
         "q_score_trends": _score_trends_oracle(),
+        "q_dedup_clusters": _dedup_clusters_oracle(),
         "q_multimodal_meta": """
             SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
                                    WHEN 1 THEN 'audio'
@@ -1670,6 +1693,49 @@ def _embedding_lsh_oracle() -> str:
         )
         SELECT a, b, ROUND(CAST(c AS DOUBLE), 4) AS cosine FROM p
         WHERE c >= 0.5 ORDER BY a, b
+    """
+
+
+def _dedup_clusters_oracle() -> str:
+    """Exact pair set (trigram Jaccard ≥ 0.5 over doc_id<300) + its
+    transitive closure via a recursive CTE → min-key cluster labels —
+    the ground truth the distributed label propagation must reproduce."""
+    return r"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents WHERE doc_id < 300
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(list_slice(w, i, i+2), ' ')
+                                for i in range(1, greatest(len(w)-2, 1)+1)]) AS s
+          FROM d
+        ),
+        e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT inter.a, inter.b
+          FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                     JOIN sizes sb ON sb.doc_id = inter.b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        edges AS (
+          SELECT a AS s, b AS t FROM p UNION SELECT b, a FROM p
+        ),
+        reach(k, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT ed.s, reach.r FROM edges ed JOIN reach ON reach.k = ed.t
+        ),
+        labels AS (SELECT k, MIN(r) AS cluster FROM reach GROUP BY k)
+        SELECT cluster, COUNT(*) AS size, MAX(k) AS max_member
+        FROM labels GROUP BY cluster ORDER BY cluster
     """
 
 

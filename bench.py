@@ -71,6 +71,7 @@ HEADLINE = [
     "q_ann_ivf",
     "q_remediation",
     "q_score_trends",
+    "q_dedup_clusters",
 ]
 
 

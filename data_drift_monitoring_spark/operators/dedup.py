@@ -451,3 +451,85 @@ def embedding_near_duplicates(
         .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (key, cluster) where
+    ``cluster`` is the minimum key in the component — the step between
+    pair mining (MinHash/SimHash/embedding LSH) and corpus dedup (keep
+    one representative per cluster).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbours; converges in
+    O(component diameter) rounds with an early-exit convergence check.
+    Near-dup clusters are shallow by construction (members are mutually
+    similar), so a handful of rounds suffices; ``max_iters`` bounds
+    pathological chains. Each round is one join + one aggregate on the
+    (small) pair-derived node set, never on the corpus."""
+    e = pairs.select("a", "b")
+    # localCheckpoint (not mere persist) after every round: an iterative
+    # plan that nests join-on-join grows super-linearly in the optimizer
+    # and OOMs the driver after ~10 rounds; checkpointing truncates the
+    # lineage so each round's plan is constant-size.
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("k"))
+        .distinct()
+        .withColumn("label", F.col("k"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("k").alias("b"), F.col("label").alias("_nl")
+                ),
+                on="b",
+            )
+            .groupBy(F.col("a").alias("k"))
+            .agg(F.min("_nl").alias("_minn"))
+        )
+        new_labels = (
+            labels.join(neigh, on="k", how="left")
+            .select(
+                "k",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_minn"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="k")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("k"), F.col("label").alias("cluster"))
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Keep one representative (the minimum key) per near-dup cluster;
+    rows not in any pair pass through untouched. The join against the
+    (tiny) cluster table is broadcast."""
+    drop = (
+        duplicate_clusters(pairs)
+        .filter(F.col("k") != F.col("cluster"))
+        .select(F.col("k").alias(key_col))
+    )
+    return df.join(F.broadcast(drop), on=key_col, how="left_anti")

@@ -300,3 +300,33 @@ def test_embedding_multi_table_lifts_recall(spark, embs01):
         embs01, threshold=0.5, planes=6, tables=8
     ).collect()
     assert {(r["a"], r["b"]) for r in multi} == {(169, 466)}
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Label propagation must merge across hops: pairs (1,2),(2,3) form
+    one cluster {1,2,3} labeled 1; (10,11) stays separate; keep-list
+    retains the minimum per cluster plus untouched rows."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    cl = {r["k"]: r["cluster"] for r in D.duplicate_clusters(pairs).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in D.dedup_by_clusters(df, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 99]
+
+
+def test_duplicate_clusters_long_chain(spark):
+    """A 12-hop path cluster converges (diameter > a couple of rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    cl = D.duplicate_clusters(pairs).collect()
+    assert {r["cluster"] for r in cl} == {0}
+    assert len(cl) == 13
