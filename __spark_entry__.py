@@ -398,6 +398,7 @@ def q_token_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_words").alias("total_words"),
             F.sum("n_subword_est").alias("total_subwords"),
+            F.sum("n_lexer_tok").alias("total_lexer_toks"),
         )
         .orderBy("lang")
     )
@@ -1141,7 +1142,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(CAST(len({_WORDS}) AS BIGINT)) AS BIGINT) AS total_words,
                    CAST(SUM(CAST(CAST(CEIL(length(text) / 4.0) AS INT) AS BIGINT)) AS BIGINT)
-                       AS total_subwords
+                       AS total_subwords,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))) AS BIGINT)
+                       AS total_lexer_toks
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "q_quality_scores": f"""
@@ -1806,31 +1810,40 @@ def _score_trends_oracle() -> str:
 
 
 def _lang_id_oracle() -> str:
-    words = _WORDS
-    hits = {
-        "de": "('der','die','und','das','ist')",
-        "en": "('the','and','of','to','in')",
-        "es": "('el','la','de','que','los')",
-        "fr": "('le','la','les','et','est')",
-    }
-    h = {
-        lang: f"len(list_filter({words}, x -> x IN {m}))" for lang, m in hits.items()
-    }
+    """Generated from text_analysis.LANG_MARKERS (single source of truth).
+    The Spark fold replaces the running best only on strictly-greater
+    hits while iterating languages in sorted order, which equals 'the
+    FIRST language (sorted) attaining the overall maximum' — mirrored
+    here as GREATEST + an ordered equality chain."""
+    from data_drift_monitoring_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    hit_exprs = ",\n                 ".join(
+        "len(list_filter({w}, x -> x IN ({m}))) AS h_{lang}".format(
+            w=_WORDS,
+            m=",".join("'" + t.replace("'", "''") + "'" for t in LANG_MARKERS[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    mx = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    chain = "\n                      ".join(
+        f"WHEN h_{lang} = {mx} THEN '{lang}'" for lang in langs
+    )
     return f"""
         WITH d AS (
           SELECT text,
-                 {h['de']} AS h_de, {h['en']} AS h_en,
-                 {h['es']} AS h_es, {h['fr']} AS h_fr,
+                 {hit_exprs},
                  regexp_matches(text, '[一-鿿]') AS cjk
           FROM documents
         ),
         p AS (
           SELECT CASE WHEN cjk THEN 'zh'
-                      WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
-                      WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
-                      WHEN h_en >= h_es AND h_en >= h_fr AND h_en > h_de THEN 'en'
-                      WHEN h_es >= h_fr AND h_es > h_de AND h_es > h_en THEN 'es'
-                      ELSE 'fr' END AS lang_pred
+                      WHEN {mx} = 0 THEN 'und'
+                      {chain}
+                 END AS lang_pred
           FROM d
         )
         SELECT lang_pred, COUNT(*) AS n_docs FROM p

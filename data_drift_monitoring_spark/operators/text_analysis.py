@@ -11,12 +11,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# tiny per-language marker lexicons for the n-gram/stopword heuristic
+# per-language marker lexicons (high-frequency function words) for the
+# stopword-hit heuristic; single lowercase tokens only. This dict is the
+# single source of truth: the gate oracle SQL is generated from it
+# (__spark_entry__._lang_id_oracle), so extending a lexicon or adding a
+# language updates both engines together.
 LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "in"],
-    "es": ["el", "la", "de", "que", "los"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "fr": ["le", "la", "les", "et", "est"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "qui", "pas"],
+    "it": ["il", "di", "che", "non", "per", "una", "sono", "con", "della", "gli"],
+    "nl": ["de", "het", "een", "van", "niet", "dat", "aan", "voor", "zijn", "maar"],
+    "pt": ["de", "que", "não", "uma", "para", "com", "por", "mais", "dos", "como"],
 }
 
 STOPWORDS_EN = [
@@ -30,13 +37,30 @@ def _words(text_col: str):
     )
 
 
+# BPE-ish lexer: runs of ASCII word chars OR single non-word non-space
+# chars (each punctuation mark / CJK char its own token). Explicit ASCII
+# classes so Java regex (Spark) and RE2 (DuckDB oracle) agree exactly.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count plus a BPE-ish subword estimate
-    (ceil(chars/4) — the standard ~4 chars/token heuristic)."""
+    """Whitespace token count, a BPE-ish subword estimate (ceil(chars/4)
+    — the standard ~4 chars/token heuristic), and an exact regex-lexer
+    count (``BPE_TOKEN_RE``: word runs + individual punctuation), the
+    usual pre-tokenizer shape."""
     w = _words(text_col)
-    return df.withColumn("n_words", F.size(w)).withColumn(
-        "n_subword_est",
-        F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("int"),
+    return (
+        df.withColumn("n_words", F.size(w))
+        .withColumn(
+            "n_subword_est",
+            F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("int"),
+        )
+        .withColumn(
+            "n_lexer_tok",
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+            ),
+        )
     )
 
 
