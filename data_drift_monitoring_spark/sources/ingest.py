@@ -35,7 +35,9 @@ from pyspark.sql import types as T
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..schema import SchemaValidationResult, validate_schema
 
-ALLOWED_FORMATS = ("csv", "json", "parquet")  # config/settings.py:31
+# reference allows csv/json/parquet (config/settings.py:31); orc added —
+# Spark reads it natively and columnar warehouses commonly hold it
+ALLOWED_FORMATS = ("csv", "json", "parquet", "orc")
 
 
 def validate_format(path: str) -> str:
@@ -72,6 +74,8 @@ def read_dataset(
     if fmt == "json":
         r = spark.read
         return r.schema(schema).json(path) if schema else r.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     return spark.read.parquet(path)
 
 

@@ -163,3 +163,17 @@ def test_dataset_metadata_action_count_fixed(spark, small_df, monkeypatch):
     assert some["top_values"] and all(
         isinstance(v, int) for v in some["top_values"].values()
     )
+
+
+def test_orc_round_trip(spark, small_df, tmp_path):
+    p = str(tmp_path / "t.orc")
+    small_df.write.orc(p)
+    from data_drift_monitoring_spark.sources.ingest import (
+        read_dataset,
+        validate_format,
+    )
+
+    assert validate_format(p) == "orc"
+    back = read_dataset(spark, p)
+    assert back.count() == small_df.count()
+    assert set(back.columns) == set(small_df.columns)
