@@ -576,7 +576,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     data is oracle-checked."""
     e = _read(spark, sf_dir, "embeddings")
     out = _dedup.embedding_near_duplicates(
-        e, threshold=0.5, planes=6, tables=8
+        e, threshold=0.5, planes=6, tables=8, dim=64
     )
     return out.select(
         "a", "b", F.round("cosine", 4).alias("cosine")

@@ -119,25 +119,57 @@ def _salt_oversized(
     bucket_cols: list[str],
     order_col: str,
     max_bucket_size: int | None,
+    method: str = "census",
 ) -> DataFrame:
     """Append ``_salt``: rows of a bucket larger than ``max_bucket_size``
-    are deterministically chunked (row_number order on ``order_col``) into
-    ceil(n/cap) sub-buckets; smaller buckets keep salt 0 and are unaffected.
+    are chunked into ~ceil(n/cap) sub-buckets; smaller buckets keep salt 0
+    and are unaffected.
 
-    This bounds every within-bucket self-join task at cap² comparisons — a
-    degenerate bucket (near-identical content all hashing together) can no
-    longer produce a runaway quadratic task at scale. The documented recall
-    bound: pairs spanning two chunks of an oversized bucket are missed, but
-    every member of such a bucket is still compared against cap-1
-    co-members, which is what dedup connectivity needs."""
+    This bounds every within-bucket self-join task at ~cap² comparisons —
+    a degenerate bucket (near-identical content all hashing together) can
+    no longer produce a runaway quadratic task at scale. The documented
+    recall bound: pairs spanning two chunks of an oversized bucket are
+    missed, but every member of such a bucket is still compared against
+    its chunk co-members, which is what dedup connectivity needs.
+
+    ``method='census'`` (default): bucket-size census (map-side-combined
+    count whose output keeps ONLY oversized buckets — tiny) → broadcast
+    join → ``pmod(xxhash64(key), chunks)``. No extra shuffle of the banded
+    rows and no single-task stage: every row salts itself independently.
+    ``method='window'`` (the earlier design, kept as fallback) chunks
+    deterministically by ``row_number`` — but that adds a sort exchange of
+    the banded rows and funnels each oversized bucket through ONE window
+    task before the join is bounded, a latent single-task sort at 100×."""
     if max_bucket_size is None:
         return d.withColumn("_salt", F.lit(0))
-    w = Window.partitionBy(*bucket_cols).orderBy(F.col(order_col).asc())
-    return d.withColumn(
-        "_salt",
-        F.floor((F.row_number().over(w) - 1) / F.lit(max_bucket_size)).cast(
-            "int"
-        ),
+    if method == "window":
+        w = Window.partitionBy(*bucket_cols).orderBy(F.col(order_col).asc())
+        return d.withColumn(
+            "_salt",
+            F.floor(
+                (F.row_number().over(w) - 1) / F.lit(max_bucket_size)
+            ).cast("int"),
+        )
+    census = (
+        d.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select(
+            *bucket_cols,
+            F.ceil(F.col("_bn") / F.lit(max_bucket_size))
+            .cast("int")
+            .alias("_chunks"),
+        )
+    )
+    return (
+        d.join(F.broadcast(census), on=bucket_cols, how="left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_chunks").isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col(order_col)), F.col("_chunks")))
+            .cast("int"),
+        )
+        .drop("_chunks")
     )
 
 
@@ -391,7 +423,13 @@ def embedding_near_duplicates(
     (``_salt_oversized``), bounding every task at cap² comparisons at the
     cost of missing cross-chunk pairs inside the oversized bucket."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # refuse to infer: a df.first() here would be a driver action in
+        # the middle of plan construction (a full job at 100 TB scale just
+        # to read one array length). Callers know their embedding width.
+        raise ValueError(
+            "embedding_near_duplicates requires dim= (the embedding "
+            "width); inferring it would run a driver-side job mid-plan"
+        )
 
     d = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
     v = F.col("v")
@@ -456,24 +494,115 @@ def embedding_near_duplicates(
 def duplicate_clusters(
     pairs: DataFrame,
     max_iters: int = 20,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over near-dup pairs: (key, cluster) where
     ``cluster`` is the minimum key in the component — the step between
     pair mining (MinHash/SimHash/embedding LSH) and corpus dedup (keep
     one representative per cluster).
 
-    Distributed min-label propagation: each round every node adopts the
-    minimum label among itself and its neighbours; converges in
-    O(component diameter) rounds with an early-exit convergence check.
-    Near-dup clusters are shallow by construction (members are mutually
-    similar), so a handful of rounds suffices; ``max_iters`` bounds
-    pathological chains. Each round is one join + one aggregate on the
-    (small) pair-derived node set, never on the corpus."""
-    e = pairs.select("a", "b")
-    # localCheckpoint (not mere persist) after every round: an iterative
-    # plan that nests join-on-join grows super-linearly in the optimizer
-    # and OOMs the driver after ~10 rounds; checkpointing truncates the
-    # lineage so each round's plan is constant-size.
+    ``algorithm='star'`` (default): alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") — each round re-points edges at local minima, roughly
+    squaring the contraction, so deep components converge in O(log²)
+    rounds where one-hop label propagation needs O(diameter). Each
+    half-round is one aggregate + one join on the pair-derived edge set,
+    never on the corpus.
+    ``algorithm='label_prop'``: the one-hop min-label propagation
+    fallback (O(diameter) rounds).
+
+    Both raise RuntimeError if ``max_iters`` rounds pass without
+    convergence — returning silently would hand the caller *wrong*
+    cluster labels with no signal."""
+    e = pairs.select("a", "b").filter(F.col("a") != F.col("b"))
+    if algorithm == "star":
+        return _star_clusters(e, max_iters)
+    return _label_prop_clusters(e, max_iters)
+
+
+def _star_clusters(e: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is a
+    forest of stars rooted at each component's minimum key.
+
+    Edges are kept oriented (a > b). localCheckpoint (not mere persist)
+    per round: an iterative plan that nests join-on-join grows
+    super-linearly in the optimizer and OOMs the driver after ~10 rounds;
+    checkpointing truncates the lineage so each round's plan is
+    constant-size."""
+    nodes = (
+        e.select(F.col("a").alias("k"))
+        .unionByName(e.select(F.col("b").alias("k")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iters):
+        # large-star: for each node u, attach every LARGER neighbour to
+        # the minimum of Γ(u) ∪ {u}
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        edges = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, on="a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: for each node u, attach u and all its (smaller)
+        # neighbours to min(Γ(u) ∪ {u})
+        mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+        via_neighbors = (
+            edges.join(mins, on="a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        via_center = mins.select(F.col("a"), F.col("m").alias("b"))
+        new_edges = (
+            via_neighbors.unionByName(via_center)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = new_edges
+        # fixed point ⇔ the edge set is a star forest ⇔ no source node is
+        # also a target (edges stay oriented a > b throughout, so a star's
+        # center only ever appears on the b side). One small job per
+        # round, and it detects doneness the round the stars form — no
+        # extra confirmation pass.
+        not_star = (
+            edges.select("a")
+            .intersect(edges.select(F.col("b").alias("a")))
+            .limit(1)
+            .count()
+        )
+        if not_star == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters(star) did not converge in {max_iters} "
+            "rounds — raise max_iters"
+        )
+    return nodes.join(
+        edges.select(F.col("a").alias("k"), F.col("b").alias("_c")),
+        on="k",
+        how="left",
+    ).select("k", F.coalesce(F.col("_c"), F.col("k")).alias("cluster"))
+
+
+def _label_prop_clusters(e: DataFrame, max_iters: int) -> DataFrame:
+    """One-hop min-label propagation; O(component diameter) rounds."""
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -485,6 +614,7 @@ def duplicate_clusters(
         .withColumn("label", F.col("k"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neigh = (
             und.join(
@@ -515,7 +645,14 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters(label_prop) did not converge in "
+            f"{max_iters} rounds (label propagation advances one hop per "
+            "round) — raise max_iters or use algorithm='star'"
+        )
     return labels.select(F.col("k"), F.col("label").alias("cluster"))
 
 

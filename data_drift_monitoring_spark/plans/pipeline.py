@@ -568,4 +568,11 @@ def run_checks(
         verdicts = io.read_appended(RESULTS_TABLE).filter(
             F.col("run_id") == run_id
         )
+        # rebind score to the persisted read-back too: the original plan
+        # references the just-unpersisted verdicts, so a later action on
+        # RunResult.score would silently recompute the whole pipeline
+        # (the pruned early-return path above already reads back).
+        score = io.read_appended(RESULTS_TABLE + "_score").filter(
+            F.col("run_id") == run_id
+        )
     return RunResult(run_id, verdicts, score, pruned)

@@ -289,6 +289,7 @@ class ValidationService:
                                 "overall_drift": False}}
 
         bounds: dict[str, tuple[float, float]] = {}
+        no_data: list[str] = []
         if numeric:
             aggs = []
             for c in numeric:
@@ -297,11 +298,27 @@ class ValidationService:
             cur_b = df.agg(*aggs).collect()[0]
             ref_b = base.agg(*aggs).collect()[0]
             for c in numeric:
-                lo = min(x for x in (cur_b[f"mn_{c}"], ref_b[f"mn_{c}"])
-                         if x is not None)
-                hi = max(x for x in (cur_b[f"mx_{c}"], ref_b[f"mx_{c}"])
-                         if x is not None)
+                los = [x for x in (cur_b[f"mn_{c}"], ref_b[f"mn_{c}"])
+                       if x is not None]
+                his = [x for x in (cur_b[f"mx_{c}"], ref_b[f"mx_{c}"])
+                       if x is not None]
+                if not los:
+                    # entirely NULL on both sides: no histogram is
+                    # computable — report instead of crashing on min([])
+                    no_data.append(c)
+                    continue
+                lo, hi = min(los), max(his)
                 bounds[c] = (float(lo), float(hi) if hi > lo else float(lo) + 1.0)
+            numeric = [c for c in numeric if c in bounds]
+        if not numeric and not categorical:
+            return {
+                "baseline_version": version,
+                "columns": {c: {"drift_detected": False,
+                                "recommendation": "no_data"}
+                            for c in no_data},
+                "summary": {"n_columns": len(no_data), "n_drifted": 0,
+                            "overall_drift": False},
+            }
 
         def hists(src: DataFrame) -> DataFrame | None:
             pieces = [
@@ -347,6 +364,8 @@ class ValidationService:
                     else "retrain_or_investigate"
                 ),
             }
+        for c in no_data:
+            cols[c] = {"drift_detected": False, "recommendation": "no_data"}
         return {
             "baseline_version": version,
             "columns": cols,

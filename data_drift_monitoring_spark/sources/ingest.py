@@ -131,10 +131,16 @@ def content_digest(df: DataFrame) -> str:
     h = df.select(
         F.xxhash64(F.to_json(F.struct(*sorted(df.columns)))).alias("h")
     )
-    # xor is order-insensitive and associative → safe under any row order;
-    # bit_xor aggregate stays in the JVM
-    row = h.agg(F.expr("bit_xor(h)").alias("x")).collect()[0]
-    return format((row["x"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+    # sum (not xor) of row hashes, reduced mod 2^64: order-insensitive AND
+    # multiplicity-sensitive — an xor rollup is blind to any even number of
+    # duplicate rows, so adding two copies of a row left the digest
+    # unchanged. The decimal cast keeps the aggregate exact under Spark 4
+    # ANSI mode (int64 SUM over full-range hashes throws
+    # ARITHMETIC_OVERFLOW); one JVM-side pass either way.
+    row = h.agg(
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]
+    return format(int(row["s"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
 
 
 def dataset_metadata(

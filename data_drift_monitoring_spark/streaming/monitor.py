@@ -183,11 +183,14 @@ def start_monitor(
             verdicts = built.withColumn("batch_id", F.lit(batch_id))
             verdicts.write.mode("append").parquet(output_dir)
             if alerts_dir is not None:
+                # derive alerts from the in-memory verdicts frame (its
+                # intermediates are still cached until the finally block) —
+                # reading output_dir back would rescan the ENTIRE verdict
+                # history every micro-batch, O(total rows written) per batch
+                # on a long-running stream since batch_id is not a
+                # partition column.
                 alerts_from_verdicts(
-                    spark.read.parquet(output_dir).filter(
-                        F.col("batch_id") == batch_id
-                    ),
-                    min_alert_severity,
+                    verdicts, min_alert_severity
                 ).write.mode("append").parquet(alerts_dir)
         finally:
             # unpersist per micro-batch: a long-running stream must not

@@ -2,6 +2,7 @@
 multimodal plumbing — over the driver testdata tables + synthetic cases."""
 
 import os
+from collections import Counter
 
 import numpy as np
 import pytest
@@ -202,10 +203,27 @@ def test_embedding_lsh_skew_guard_bounds_tasks(spark):
     guarded = D.embedding_near_duplicates(
         df, threshold=0.99, planes=8, dim=16, max_bucket_size=16
     ).collect()
-    # chunks of 16,16,16,12 → 3*C(16,2) + C(12,2) pairs
-    assert len(guarded) == 3 * 120 + 66
+    # census salt chunks the 60-row bucket into ceil(60/16)=4 hash chunks;
+    # expected pairs = Σ C(n_i, 2) over the (deterministic) chunk sizes
+    chunk_of = {
+        r["k"]: r["s"]
+        for r in df.select(F.col("vec_id").alias("k"))
+        .withColumn("s", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int"))
+        .collect()
+    }
+    sizes = Counter(chunk_of.values()).values()
+    assert len(guarded) == sum(n * (n - 1) // 2 for n in sizes)
+    # every pair stays within its chunk, and every member of a chunk with
+    # ≥2 rows is paired (connectivity inside chunks)
+    assert all(chunk_of[r["a"]] == chunk_of[r["b"]] for r in guarded)
     covered = {r["a"] for r in guarded} | {r["b"] for r in guarded}
-    assert covered == set(range(60))  # connectivity: nobody left unpaired
+    assert covered == {k for k, s in chunk_of.items()
+                       if sum(1 for v in chunk_of.values() if v == s) > 1}
+    # the guard must not add a single-task window sort over the bucket
+    plan = D.embedding_near_duplicates(
+        df, threshold=0.99, planes=8, dim=16, max_bucket_size=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
 
     unguarded = D.embedding_near_duplicates(
         df, threshold=0.99, planes=8, dim=16, max_bucket_size=None
@@ -293,11 +311,11 @@ def test_embedding_multi_table_lifts_recall(spark, embs01):
     6 planes × 8 tables finds it — and finds nothing else, matching the
     exact all-pairs answer."""
     single = D.embedding_near_duplicates(
-        embs01, threshold=0.5, planes=8, tables=1
+        embs01, threshold=0.5, planes=8, tables=1, dim=64
     ).collect()
     assert single == []
     multi = D.embedding_near_duplicates(
-        embs01, threshold=0.5, planes=6, tables=8
+        embs01, threshold=0.5, planes=6, tables=8, dim=64
     ).collect()
     assert {(r["a"], r["b"]) for r in multi} == {(169, 466)}
 
@@ -323,10 +341,32 @@ def test_duplicate_clusters_transitive(spark):
 
 
 def test_duplicate_clusters_long_chain(spark):
-    """A 12-hop path cluster converges (diameter > a couple of rounds)."""
+    """A 12-hop path cluster converges — and under star contraction it
+    must do so within 4 rounds (log², not diameter, rounds), else the
+    non-convergence guard raises."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "a long, b long"
     )
-    cl = D.duplicate_clusters(pairs).collect()
+    cl = D.duplicate_clusters(pairs, max_iters=4).collect()
     assert {r["cluster"] for r in cl} == {0}
     assert len(cl) == 13
+    # label propagation advances one hop/round: both variants must FLAG
+    # (not silently return) unconverged labels when max_iters is too low
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iters=2, algorithm="label_prop")
+
+
+def test_duplicate_clusters_label_prop_parity(spark):
+    """Both algorithms agree on a mixed component shape."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "a long, b long",
+    )
+    star = {(r["k"], r["cluster"])
+            for r in D.duplicate_clusters(pairs, algorithm="star").collect()}
+    prop = {(r["k"], r["cluster"])
+            for r in D.duplicate_clusters(
+                pairs, algorithm="label_prop"
+            ).collect()}
+    assert star == prop
+    assert {c for _, c in star} == {1, 10, 20}

@@ -102,6 +102,17 @@ def test_content_digest_deterministic_and_order_insensitive(spark, small_df):
     assert content_digest(small_df.limit(39)) != d1
 
 
+def test_content_digest_multiplicity_sensitive(spark, small_df):
+    """An xor rollup is blind to even duplicate counts — adding two copies
+    of an existing row must still change the digest (sum-mod-2^64 rollup)."""
+    one = small_df.limit(1)
+    doubled = small_df.unionAll(one).unionAll(one)
+    assert content_digest(doubled) != content_digest(small_df)
+    assert content_digest(doubled) == content_digest(
+        doubled.orderBy(F.desc("id"))
+    )
+
+
 def test_compare_metadata_against_baseline(spark, small_df):
     """versioning.py:271-364 parity: row/column/schema/dtype differences
     plus the missing-rate extension."""

@@ -110,6 +110,24 @@ def test_detect_drift_against_baseline(svc, clean_df, spark):
     assert not same["summary"]["overall_drift"]
 
 
+def test_detect_drift_all_null_column_reports_no_data(svc, clean_df, spark):
+    """A shared numeric column that is entirely NULL on both sides must be
+    reported with a 'no_data' marker, not crash on min() of an empty
+    sequence (round-2 ADVICE)."""
+    nulled = clean_df.withColumn(
+        "score", F.lit(None).cast("double")
+    )
+    svc.create_baseline(nulled)
+    rep = svc.detect_drift(nulled)
+    assert rep["columns"]["score"]["recommendation"] == "no_data"
+    assert not rep["columns"]["score"]["drift_detected"]
+    # the other columns still get a real drift verdict
+    assert any(
+        "psi" in v for c, v in rep["columns"].items() if c != "score"
+    )
+    assert not rep["summary"]["overall_drift"]
+
+
 def test_remediate_from_quality_report(svc, spark):
     """remediation route parity: dirty dataset → check_quality report →
     prioritized actions from the rules engine."""
