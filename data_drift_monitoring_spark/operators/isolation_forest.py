@@ -132,6 +132,13 @@ def fit_isolation_forest(
         .toPandas()
     )
     x = pdf.to_numpy(dtype=np.float64)
+    # canonicalize row order before fitting: toPandas row order follows
+    # partition layout, which can differ across core counts / split sizes.
+    # With the rows lexsorted the fitted model depends only on the row
+    # MULTISET — fully reproducible across cluster shapes whenever
+    # max_sample >= n (when the limit binds, the sampled set itself is
+    # still rand(seed)-per-partition, i.e. layout-dependent).
+    x = x[np.lexsort(x.T[::-1])]
     if len(x) == 0:
         raise ValueError("no complete rows to fit on")
     rng = np.random.default_rng(seed)

@@ -163,10 +163,14 @@ def outlier_violations(
     return out
 
 
-def clip_outliers(df: DataFrame, column: str, lo: float, hi: float) -> DataFrame:
+def clip_outliers(df: DataFrame, column: str, lo, hi) -> DataFrame:
     """Winsorize (outliers.py:376-396): greatest/least clamp, pure codegen.
     Nulls pass through unchanged (Spark's greatest/least SKIP nulls — unlike
-    pandas clip which preserves NaN — so the null case is explicit)."""
+    pandas clip which preserves NaN — so the null case is explicit).
+
+    ``lo``/``hi`` accept floats or Columns (``F.lit`` passes Columns
+    through), so data-derived bounds can ride along as broadcast columns
+    instead of a driver round-trip."""
     v = F.col(column)
     return df.withColumn(
         column,
