@@ -427,6 +427,26 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_lang_id_accuracy(spark, sf_dir):
+    """Lang-ID confusion matrix against the fixture's labeled ``lang``
+    column (VERDICT r2 #4). Oracle = the same marker SQL generated from
+    LANG_MARKERS, keyed by true label.
+
+    Measured finding (COVERAGE.md): the testdata's ``lang`` labels are
+    synthetic and UNCORRELATED with the text — every language's documents
+    are the same English-ish word soup — so label accuracy here is 0.32
+    (≈ the en+und mass) by construction, not a heuristic defect. Real
+    accuracy is measured in tests/test_dedup_similarity_text.py on a
+    planted multilingual fixture where text actually carries each
+    language's markers (1.00 on marker-bearing text)."""
+    d = _ta.with_lang_id(_read(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -620,6 +640,21 @@ def q_simhash_groups(spark, sf_dir):
         (F.count(F.lit(1)) - F.countDistinct("simhash")).alias("n_dup_members"),
         F.expr("bit_xor(simhash)").alias("xor_sig"),
     )
+
+
+def q_simhash_hamming(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via the k+1-band
+    pigeonhole split (dedup.simhash_hamming_duplicates) with the portable
+    word hash; the oracle recomputes the signatures bit-exactly in SQL and
+    does the all-pairs bit_count(xor) — so band recall (guaranteed total
+    by the pigeonhole argument) is value-checked against exact. Finds the
+    4 real d≤3 pairs on this corpus that Hamming-0 (q_simhash_groups)
+    misses."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = _dedup.simhash_hamming_duplicates(
+        d, "doc_id", k=3, word_hash=_dedup.portable_word_hash
+    )
+    return out.orderBy("a", "b")
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
@@ -922,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_quality_scores": q_quality_scores,
         "q_lang_id": q_lang_id,
+        "q_lang_id_accuracy": q_lang_id_accuracy,
         "q_exact_dedup": q_exact_dedup,
         "q_fingerprints": q_fingerprints,
         "q_ngram_jaccard_self": q_ngram_jaccard_self,
@@ -935,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_metric_drift": q_metric_drift,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_groups": q_simhash_groups,
+        "q_simhash_hamming": q_simhash_hamming,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
         "q_remediation": q_remediation,
@@ -1224,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY source ORDER BY source
         """,
         "q_lang_id": _lang_id_oracle(),
+        "q_lang_id_accuracy": _lang_id_accuracy_oracle(),
         "q_exact_dedup": """
             WITH k AS (
               SELECT source, doc_id,
@@ -1286,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_near_dup": _minhash_oracle(),
         "q_simhash_groups": _simhash_oracle(),
+        "q_simhash_hamming": _simhash_hamming_oracle(k=3),
         "q_embedding_near_dup_lsh": _embedding_lsh_oracle(),
         # full-probe IVF must reproduce the exact brute-force ranking
         "q_ann_ivf": """
@@ -1727,9 +1766,9 @@ def _minhash_oracle() -> str:
     """
 
 
-def _simhash_oracle() -> str:
-    """Bit-vote SimHash reimplemented in SQL with the portable 60-bit
-    md5-derived word hash (dedup.portable_word_hash mirror)."""
+def _simhash_sig_cte() -> str:
+    """Shared CTE: bit-vote SimHash reimplemented in SQL with the portable
+    60-bit md5-derived word hash (dedup.portable_word_hash mirror)."""
     vote = "list_sum(list_transform(hs, h -> ((h >> b) & 1)*2 - 1))"
     return rf"""
         WITH d AS (
@@ -1745,6 +1784,25 @@ def _simhash_oracle() -> str:
                            for b in range(0, 60)]) AS sig
           FROM d
         )
+    """
+
+
+def _simhash_hamming_oracle(k: int) -> str:
+    """Exact all-pairs Hamming over the bit-exact SQL signatures — the
+    ground truth the k+1-band pigeonhole split must reproduce in full."""
+    return f"""
+        {_simhash_sig_cte()}
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+        FROM s x JOIN s y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.sig, y.sig)) <= {k}
+        ORDER BY a, b
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        {_simhash_sig_cte()}
         SELECT COUNT(*) AS n_docs,
                COUNT(DISTINCT sig) AS n_sigs,
                CAST(COUNT(*) - COUNT(DISTINCT sig) AS BIGINT) AS n_dup_members,
@@ -1880,6 +1938,16 @@ def _lang_id_oracle() -> str:
     hits while iterating languages in sorted order, which equals 'the
     FIRST language (sorted) attaining the overall maximum' — mirrored
     here as GREATEST + an ordered equality chain."""
+    return f"""
+        {_lang_pred_cte()}
+        SELECT lang_pred, COUNT(*) AS n_docs FROM p
+        GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+def _lang_pred_cte() -> str:
+    """Shared prediction CTE ``p(lang, lang_pred)`` for the lang-ID
+    oracles, generated from LANG_MARKERS."""
     from data_drift_monitoring_spark.operators.text_analysis import (
         LANG_MARKERS,
     )
@@ -1899,18 +1967,24 @@ def _lang_id_oracle() -> str:
     )
     return f"""
         WITH d AS (
-          SELECT text,
+          SELECT lang, text,
                  {hit_exprs},
                  regexp_matches(text, '[一-鿿]') AS cjk
           FROM documents
         ),
         p AS (
-          SELECT CASE WHEN cjk THEN 'zh'
+          SELECT lang, CASE WHEN cjk THEN 'zh'
                       WHEN {mx} = 0 THEN 'und'
                       {chain}
                  END AS lang_pred
           FROM d
         )
-        SELECT lang_pred, COUNT(*) AS n_docs FROM p
-        GROUP BY lang_pred ORDER BY lang_pred
+    """
+
+
+def _lang_id_accuracy_oracle() -> str:
+    return f"""
+        {_lang_pred_cte()}
+        SELECT lang, lang_pred, COUNT(*) AS n_docs FROM p
+        GROUP BY lang, lang_pred ORDER BY lang, lang_pred
     """

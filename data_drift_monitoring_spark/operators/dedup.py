@@ -378,9 +378,8 @@ def simhash(df: DataFrame, text_col: str = "text", word_hash=None) -> DataFrame:
 def simhash_duplicates(
     df: DataFrame, key_col: str, text_col: str = "text", word_hash=None
 ) -> DataFrame:
-    """Exact-signature SimHash collision groups (Hamming distance 0; the
-    standard d≤k extension splits the 64 bits into k+1 tables of this same
-    shape)."""
+    """Exact-signature SimHash collision groups (Hamming distance 0; see
+    ``simhash_hamming_duplicates`` for the d≤k extension)."""
     s = simhash(df, text_col, word_hash)
     return (
         s.groupBy("simhash")
@@ -389,6 +388,75 @@ def simhash_duplicates(
             F.sort_array(F.collect_list(key_col)).alias("members"),
         )
         .filter(F.col("group_size") > 1)
+    )
+
+
+def simhash_hamming_duplicates(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    word_hash=None,
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ k — the Charikar-2002
+    signature with the Manku/Jain/Sarma (WWW'07) pigeonhole band split:
+    partition the 64 signature bits into k+1 bands; two signatures within
+    Hamming distance k differ in ≤ k bands, so they must agree EXACTLY on
+    at least one band. Each (band index, band value) is an equality join
+    key; candidates are verified by ``bit_count(sig_a xor sig_b) ≤ k``.
+    Returns (a, b, hamming) with a < b, deduped across bands.
+
+    Scale shape mirrors the MinHash-LSH path: the signature is computed
+    ONCE (one Arrow batch pass), banded rows carry only
+    (band, band_value, key, sig) ≈ 28 B through the shuffle — never the
+    documents — both join sides hash-partition on the same band key (one
+    reusable exchange), and buckets above ``max_bucket_size`` are
+    census-salted (``_salt_oversized``) so a degenerate band value cannot
+    produce a runaway quadratic task. Verification is a single JVM
+    bit_count per candidate — no second pass over text."""
+    nb = k + 1
+    s = simhash(df, text_col, word_hash).select(
+        F.col(key_col).alias("k"), "simhash"
+    )
+    # contiguous band boundaries covering all 64 bits (first 64 % nb bands
+    # get the extra bit)
+    pieces, start = [], 0
+    for t in range(nb):
+        w = 64 // nb + (1 if t < 64 % nb else 0)
+        mask = (1 << w) - 1
+        pieces.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftrightunsigned(F.col("simhash"), start)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+        )
+        start += w
+    banded = s.select(
+        "k", "simhash", F.explode(F.array(*pieces)).alias("_b")
+    ).select("k", "simhash", F.col("_b.t").alias("t"), F.col("_b.bv").alias("bv"))
+    banded = _salt_oversized(banded, ["t", "bv"], "k", max_bucket_size)
+    a = banded.select(
+        "t", "bv", "_salt",
+        F.col("k").alias("a"), F.col("simhash").alias("_sa"),
+    )
+    b = banded.select(
+        "t", "bv", "_salt",
+        F.col("k").alias("b"), F.col("simhash").alias("_sb"),
+    )
+    return (
+        a.join(b, on=["t", "bv", "_salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )
 
 

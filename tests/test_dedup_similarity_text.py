@@ -75,6 +75,57 @@ def test_simhash_collision_groups(spark, dup_docs):
     assert any(g["members"] == [1, 2] for g in groups)
 
 
+def test_simhash_hamming_finds_what_hamming0_misses(spark):
+    """Planted near-identical word multisets: one word swapped in a
+    100-word doc flips only a few signature bits — Hamming-0 grouping
+    misses the pair, d≤k band matching must find it."""
+    base = " ".join(f"word{i % 37}" for i in range(100))
+    variant = base.replace("word5", "wordX", 1)
+    far = " ".join(f"other{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, far)], "doc_id long, text string"
+    )
+    # the planted pair's actual distance (signature is data-dependent)
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(df, "text").select("doc_id", "simhash").collect()
+    }
+    d13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    assert 0 < d13 <= 12
+    ham0 = D.simhash_duplicates(df, "doc_id").collect()
+    assert all(g["members"] == [1, 2] for g in ham0)  # (1,3) missed at d=0
+    found = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in D.simhash_hamming_duplicates(df, "doc_id", k=d13).collect()
+    }
+    assert found[(1, 3)] == d13 and found[(2, 3)] == d13
+    assert found[(1, 2)] == 0
+    assert not any({a, b} & {4} for a, b in found)
+
+
+def test_simhash_hamming_band_parity_with_bruteforce(spark, docs):
+    """Pigeonhole completeness on real data: the banded operator's pair
+    set equals the exact all-pairs bit_count filter, for several k."""
+    d = docs.limit(120)
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(d, "text").select("doc_id", "simhash").collect()
+    }
+    import itertools
+
+    for k in (2, 5, 9):
+        exact = {
+            (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= k
+        }
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in D.simhash_hamming_duplicates(d, "doc_id", k=k).collect()
+        }
+        assert got == exact
+
+
 def test_minhash_on_real_documents(spark, docs):
     # the documents table is word-soup: no exact dups expected, operator
     # must still run end to end and return a well-formed frame
@@ -156,6 +207,33 @@ def test_lang_id_markers(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r["id"]: r["lang_pred"] for r in TA.with_lang_id(df).collect()}
     assert got == {1: "en", 2: "es", 3: "de", 4: "zh", 5: "und"}
+
+
+def test_lang_id_accuracy_on_planted_corpus(spark):
+    """Accuracy floor on marker-bearing text: 140 docs (7 languages × 20),
+    each mixing that language's markers with neutral filler at a realistic
+    ~30% function-word density. The testdata documents table can't measure
+    this — its lang labels are uncorrelated with its (English word-soup)
+    text — so a planted corpus is the honest accuracy fixture."""
+    import random
+
+    rng = random.Random(11)
+    filler = ["casa", "zug", "vector", "tree", "blau", "porta", "xylo"]
+    rows, i = [], 0
+    for lang, markers in sorted(TA.LANG_MARKERS.items()):
+        for _ in range(20):
+            words = [rng.choice(markers) for _ in range(6)] + [
+                rng.choice(filler) for _ in range(14)
+            ]
+            rng.shuffle(words)
+            rows.append((i, lang, " ".join(words)))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    got = TA.with_lang_id(df).collect()
+    acc = sum(r["lang"] == r["lang_pred"] for r in got) / len(got)
+    # nl/pt/es share 'de'/'que' etc.; a marker heuristic can confuse those
+    # on short docs, hence a floor rather than exactness
+    assert acc >= 0.9, f"planted-corpus accuracy {acc}"
 
 
 def test_fingerprint_stability(spark, dup_docs):
