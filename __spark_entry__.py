@@ -427,6 +427,80 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+_CSV_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".gate_artifacts", "csv_roundtrip"
+)
+_JSON_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".gate_artifacts", "json_roundtrip"
+)
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV ingestion parity (S1, the last test-only source): write the
+    documents table as RFC-4180 CSV (escape = quote → doubled quotes),
+    read it back through sources.ingest.read_dataset with an explicit
+    schema, and aggregate; the oracle parses the SAME files with DuckDB
+    read_csv — any quoting/typing divergence between writer and either
+    reader breaks the value hash."""
+    from data_drift_monitoring_spark.sources.ingest import read_dataset
+    from pyspark.sql import types as T
+
+    d = _read(spark, sf_dir, "documents")
+    (
+        d.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(_CSV_ARTIFACT)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_dataset(spark, _CSV_ARTIFACT, fmt="csv", schema=schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.countDistinct("source").alias("d_source"),
+        F.sum(F.col("doc_id")).alias("sum_ids"),
+    )
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines ingestion parity (S2): same round-trip shape as
+    q_csv_roundtrip via write.json → read_dataset(schema) vs DuckDB
+    read_json."""
+    from data_drift_monitoring_spark.sources.ingest import read_dataset
+    from pyspark.sql import types as T
+
+    d = _read(spark, sf_dir, "documents")
+    d.coalesce(1).write.mode("overwrite").json(_JSON_ARTIFACT)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = read_dataset(spark, _JSON_ARTIFACT, fmt="json", schema=schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.sum(F.col("doc_id")).alias("sum_ids"),
+    )
+
+
 def q_lang_id_accuracy(spark, sf_dir):
     """Lang-ID confusion matrix against the fixture's labeled ``lang``
     column (VERDICT r2 #4). Oracle = the same marker SQL generated from
@@ -958,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": q_quality_scores,
         "q_lang_id": q_lang_id,
         "q_lang_id_accuracy": q_lang_id_accuracy,
+        "q_csv_roundtrip": q_csv_roundtrip,
+        "q_json_roundtrip": q_json_roundtrip,
         "q_exact_dedup": q_exact_dedup,
         "q_fingerprints": q_fingerprints,
         "q_ngram_jaccard_self": q_ngram_jaccard_self,
@@ -1262,6 +1338,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lang_id": _lang_id_oracle(),
         "q_lang_id_accuracy": _lang_id_accuracy_oracle(),
+        "q_csv_roundtrip": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_lang,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS d_source,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM read_csv('{_CSV_ARTIFACT}/*.csv', header=true,
+                          columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                    'lang': 'VARCHAR', 'source': 'VARCHAR',
+                                    'n_chars': 'BIGINT'}})
+        """,
+        "q_json_roundtrip": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_lang,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM read_json('{_JSON_ARTIFACT}/*.json',
+                           columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                     'lang': 'VARCHAR', 'source': 'VARCHAR',
+                                     'n_chars': 'BIGINT'}})
+        """,
         "q_exact_dedup": """
             WITH k AS (
               SELECT source, doc_id,
