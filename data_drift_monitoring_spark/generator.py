@@ -161,3 +161,154 @@ def generate_allowed_sources(out_dir: str) -> str:
     path = os.path.join(out_dir, "allowed_sources.parquet")
     pq.write_table(tbl, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# near-dup benchmark corpus (large-scale dedup evidence)
+# ---------------------------------------------------------------------------
+
+DEDUP_VOCAB_SIZE = 50_000
+
+
+def _trigram_jaccard(a: "np.ndarray", b: "np.ndarray") -> float:
+    """Exact word-trigram Jaccard of two word-index sequences — the same
+    shingle definition as ``operators.dedup._shingles`` (k=3 over the
+    whitespace words), computed in numpy for planted-truth pairs."""
+    sa = {tuple(a[i : i + 3]) for i in range(max(len(a) - 2, 1))}
+    sb = {tuple(b[i : i + 3]) for i in range(max(len(b) - 2, 1))}
+    return len(sa & sb) / len(sa | sb)
+
+
+def generate_dedup_corpus(
+    out_dir: str,
+    n_docs: int = 1_000_000,
+    seed: int = 42,
+    num_partitions: int = 32,
+    dup_source_frac: float = 0.01,
+    min_len: int = 40,
+    max_len: int = 120,
+) -> dict:
+    """Deterministic near-dup benchmark corpus with PLANTED ground truth —
+    the large-scale recall/precision evidence fixture the sf0.01 oracle
+    corpus (500 docs) cannot provide.
+
+    ``n_docs`` word-soup documents (vocab 50k ⇒ accidental trigram overlap
+    between independent docs is ≈ 0, so the planted pairs ARE the ≥-0.3
+    Jaccard truth). ``dup_source_frac`` of docs are duplicate-family
+    sources; each family plants, with probability 1/2 each:
+
+      exact  — verbatim copy                     (J = 1)
+      near   — 2–10% of words replaced           (J ≈ 0.55–0.95)
+      border — ~15% of words replaced            (J ≈ 0.35–0.55, straddles 0.5)
+      far    — 60% of words replaced             (J ≈ 0.05–0.15, must NOT match at 0.5)
+
+    Every within-family pair's EXACT trigram Jaccard is computed in numpy
+    at generation time and written to ``truth.parquet`` (a, b, jaccard,
+    kind); family members are scattered uniformly over the whole doc_id
+    range, so duplicate pairs cross file/partition boundaries like real
+    crawl dups do. Layout: ``out_dir/docs/part-*.parquet`` (doc_id BIGINT,
+    text VARCHAR), ``out_dir/truth.parquet``. Same arguments → identical
+    corpus. Returns summary stats."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 1311]))
+    os.makedirs(os.path.join(out_dir, "docs"), exist_ok=True)
+
+    n_src = int(n_docs * dup_source_frac)
+    lens = rng.integers(min_len, max_len + 1, size=n_docs)
+    # base word-index lists; sources are the first n_src docs (scattered later)
+    docs: list = [
+        rng.integers(0, DEDUP_VOCAB_SIZE, size=int(L), dtype=np.int32)
+        for L in lens
+    ]
+
+    variants: list = []
+    kind_of: dict[int, str] = {}  # variant doc index → planted kind
+    fam_members: list = []  # (source_doc_idx, [variant_doc_idx...])
+    for s in range(n_src):
+        base = docs[s]
+        members = []
+        for kind, frac in (
+            ("exact", 0.0),
+            ("near", None),
+            ("border", 0.15),
+            ("far", 0.60),
+        ):
+            if rng.random() < 0.5:
+                continue
+            w = base.copy()
+            f = rng.uniform(0.02, 0.10) if frac is None else frac
+            r = max(1, int(round(f * len(w)))) if kind != "exact" else 0
+            if r:
+                pos = rng.choice(len(w), size=r, replace=False)
+                w[pos] = rng.integers(0, DEDUP_VOCAB_SIZE, size=r)
+            idx = n_docs + len(variants)
+            members.append(idx)
+            kind_of[idx] = kind
+            variants.append(w)
+        if members:
+            fam_members.append((s, members))
+
+    total = n_docs + len(variants)
+    # scatter: doc i lands at final doc_id perm[i], so family members are
+    # spread uniformly across files/partitions
+    final_id = rng.permutation(total).astype(np.int64)
+
+    # planted truth: every within-family pair with its exact trigram Jaccard
+    all_docs = docs + variants
+    ta, tb, tj, tk = [], [], [], []
+    for s, members in fam_members:
+        fam = [s] + members
+        for i in range(len(fam)):
+            for j in range(i + 1, len(fam)):
+                x, y = fam[i], fam[j]
+                a_id, b_id = final_id[x], final_id[y]
+                if a_id > b_id:
+                    a_id, b_id = b_id, a_id
+                ta.append(a_id)
+                tb.append(b_id)
+                tj.append(_trigram_jaccard(all_docs[x], all_docs[y]))
+                # source↔variant pairs carry the variant's kind;
+                # variant↔variant pairs are combinations ("near|far")
+                tk.append(
+                    kind_of[y]
+                    if x == s
+                    else f"{kind_of[x]}|{kind_of[y]}"
+                )
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array(ta, type=pa.int64()),
+                pa.array(tb, type=pa.int64()),
+                pa.array(tj, type=pa.float64()),
+                pa.array(tk, type=pa.string()),
+            ],
+            names=["a", "b", "jaccard", "kind"],
+        ),
+        os.path.join(out_dir, "truth.parquet"),
+    )
+
+    # write docs by final_id range, one file per partition
+    vocab = np.array([f"w{i:05d}" for i in range(DEDUP_VOCAB_SIZE)])
+    order = np.argsort(final_id)  # doc index in final_id order
+    per = total // num_partitions
+    pos = 0
+    for p in range(num_partitions):
+        n = per + (total % num_partitions if p == num_partitions - 1 else 0)
+        sel = order[pos : pos + n]
+        ids = final_id[sel]
+        texts = [" ".join(vocab[all_docs[i]]) for i in sel]
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(texts, type=pa.string())],
+                names=["doc_id", "text"],
+            ),
+            os.path.join(out_dir, "docs", f"part-{p}.parquet"),
+            row_group_size=16384,
+        )
+        pos += n
+    return {
+        "n_docs": total,
+        "n_base": n_docs,
+        "n_variants": len(variants),
+        "n_families": len(fam_members),
+        "n_truth_pairs": len(ta),
+    }

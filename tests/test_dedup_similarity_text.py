@@ -126,6 +126,50 @@ def test_simhash_hamming_band_parity_with_bruteforce(spark, docs):
         assert got == exact
 
 
+def test_minhash_arrow_and_expr_find_same_verified_pairs(spark, dup_docs):
+    """The two signature implementations are different hash families but
+    must verify to the same exact-Jaccard pair set wherever the band
+    recall bound holds."""
+    def verified(impl):
+        sigs = D.minhash_signatures(dup_docs, "text", 64, 3, impl=impl)
+        cand = D.lsh_candidate_pairs(sigs, "doc_id", 64, 32, estimate=False)
+        out = D.ngram_jaccard(dup_docs, cand, "doc_id")
+        return {
+            (r["a"], r["b"], round(r["jaccard"], 6))
+            for r in out.filter(F.col("jaccard") >= 0.5).collect()
+        }
+
+    assert verified("arrow") == verified("expr")
+
+
+def test_dedup_corpus_generator_truth(spark, tmp_path):
+    """generate_dedup_corpus: planted truth matches the engine's own exact
+    n-gram verification, ids are unique, kinds behave as documented."""
+    from data_drift_monitoring_spark.generator import generate_dedup_corpus
+
+    d = str(tmp_path / "corpus")
+    stats = generate_dedup_corpus(d, n_docs=5000, num_partitions=2)
+    docs = spark.read.parquet(d + "/docs")
+    assert docs.count() == stats["n_docs"]
+    assert docs.select("doc_id").distinct().count() == stats["n_docs"]
+    truth = spark.read.parquet(d + "/truth.parquet")
+    rows = truth.collect()
+    assert {r["kind"] for r in rows} >= {"exact", "near", "border", "far"}
+    assert all(r["jaccard"] == 1.0 for r in rows if r["kind"] == "exact")
+    assert all(r["jaccard"] >= 0.5 for r in rows if r["kind"] == "near")
+    assert all(r["jaccard"] < 0.3 for r in rows if r["kind"] == "far")
+    # the generator's numpy trigram Jaccard == the operator's exact verify
+    sample = truth.filter(F.col("kind").isin("near", "border")).limit(20)
+    verified = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.ngram_jaccard(
+            docs, sample.select("a", "b"), "doc_id"
+        ).collect()
+    }
+    for r in sample.collect():
+        assert abs(verified[(r["a"], r["b"])] - r["jaccard"]) < 1e-9
+
+
 def test_minhash_on_real_documents(spark, docs):
     # the documents table is word-soup: no exact dups expected, operator
     # must still run end to end and return a well-formed frame
