@@ -335,9 +335,28 @@ def run_scaling() -> None:
         "sec_n": lo["sec"],
         "sec_4n": hi["sec"],
     }
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(_bench_md(summary))
+    _write_bench_md(summary)
     print(json.dumps(summary))
+
+
+# everything from this marker on is hand-maintained evidence (micro
+# benches, dedup/streaming sections); --scaling regenerates only the
+# header + protocol block above it
+_BENCH_MD_KEEP_MARKER = "## Additional measured context"
+
+
+def _write_bench_md(summary: dict) -> None:
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find(_BENCH_MD_KEEP_MARKER)
+        if idx != -1:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(_bench_md(summary))
+        if tail:
+            f.write("\n" + tail)
 
 
 def _bench_md(s: dict) -> str:

@@ -303,7 +303,16 @@ def lsh_candidate_pairs(
     bare (a, b)) — the right call when candidates go straight to exact
     verification, as the signature table is then scanned ONCE instead of
     three times. Callers that keep ``estimate=True`` and iterate over the
-    same signature table should persist ``sigs``."""
+    same signature table should persist ``sigs``.
+
+    When census salting is active (``max_bucket_size``), the banded frame
+    is persisted (MEMORY_AND_DISK): the census aggregate and the two join
+    sides otherwise each recompute the banding subplan INCLUDING the
+    signature UDF — plan-counted as 3 ArrowEvalPython evaluations of the
+    most expensive stage. The banded rows are ~24 B × bands per doc
+    (~0.3% of corpus bytes), so the cache is cheap relative to one
+    recompute; eviction under pressure degrades to recompute, never to
+    wrong answers."""
     rows = num_hashes // bands
     banded = sigs.select(
         F.col(key_col).alias("k"),
@@ -327,6 +336,8 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("k", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        banded = banded.persist()
     banded = _salt_oversized(banded, ["band", "bh"], "k", max_bucket_size)
 
     left = banded.select("band", "bh", "_salt", F.col("k").alias("a"))
@@ -397,6 +408,11 @@ def minhash_verified_duplicates(
     cand = lsh_candidate_pairs(
         sigs, key_col, num_hashes, bands, max_bucket_size, estimate=False
     )
+    # the candidate set is tiny (dup-rate × corpus) but its plan is the
+    # whole LSH pipeline; the verification below references it THREE times
+    # (two key-union branches + the pair join). localCheckpoint both
+    # truncates that lineage and materializes it once.
+    cand = cand.localCheckpoint(eager=False)
     return ngram_jaccard(df, cand, key_col, text_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
