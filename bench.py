@@ -72,6 +72,9 @@ HEADLINE = [
     "q_remediation",
     "q_score_trends",
     "q_dedup_clusters",
+    # round 3 additions
+    "q_simhash_hamming",
+    "q_lang_id_accuracy",
 ]
 
 

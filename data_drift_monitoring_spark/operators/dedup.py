@@ -336,8 +336,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("k", "bb.band", "bb.bh")
-    if max_bucket_size is not None:
-        banded = banded.persist()
+    # unconditional: even without census salting both self-join sides
+    # reference this frame, so uncached the banding subplan (including the
+    # signature UDF) runs twice; salting adds the census as a third reader
+    banded = banded.persist()
     banded = _salt_oversized(banded, ["band", "bh"], "k", max_bucket_size)
 
     left = banded.select("band", "bh", "_salt", F.col("k").alias("a"))
@@ -583,6 +585,11 @@ def simhash_hamming_duplicates(
     banded = s.select(
         "k", "simhash", F.explode(F.array(*pieces)).alias("_b")
     ).select("k", "simhash", F.col("_b.t").alias("t"), F.col("_b.bv").alias("bv"))
+    # persist: the census aggregate and BOTH self-join sides reference
+    # this frame — uncached, the SimHash Arrow UDF (the expensive stage)
+    # is re-evaluated once per reference (3x, plan-verified). ~28 B x
+    # (k+1) rows/doc, same tradeoff as the MinHash banded cache above.
+    banded = banded.persist()
     banded = _salt_oversized(banded, ["t", "bv"], "k", max_bucket_size)
     a = banded.select(
         "t", "bv", "_salt",
@@ -671,6 +678,10 @@ def embedding_near_duplicates(
         return pd.Series([row.tolist() for row in codes])
 
     banded = d.select("k", F.posexplode(_codes("v")).alias("t", "code"))
+    # persist: census + both self-join sides otherwise each re-run the
+    # codes matmul UDF over every vector (3x, plan-verified); the cached
+    # frame is (key, t, code) ~20 B x tables/vector.
+    banded = banded.persist()
     banded = _salt_oversized(banded, ["t", "code"], "k", max_bucket_size)
     a = banded.select("t", "code", "_salt", F.col("k").alias("a"))
     b = banded.select("t", "code", "_salt", F.col("k").alias("b"))

@@ -492,3 +492,41 @@ def test_duplicate_clusters_label_prop_parity(spark):
             ).collect()}
     assert star == prop
     assert {c for _, c in star} == {1, 10, 20}
+
+
+def test_duplicate_clusters_random_graphs_match_union_find(spark):
+    """Star contraction on seeded random graphs == a pure-Python
+    union-find, and emits EXACTLY one row per node — guards the subtle
+    fixed-point failure where a node keeps two parents (b->c1, b->c2)
+    yet no source appears as a target, which duplicate rows would
+    reveal."""
+    import random
+
+    for seed, n, m in [(0, 25, 30), (1, 40, 35), (2, 60, 90), (3, 50, 49)]:
+        rng = random.Random(seed)
+        edges = {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(m)
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({x for e in edges for x in e})
+        want = {x: find(x) for x in touched}
+
+        pairs = spark.createDataFrame(
+            [(int(b), int(a)) for a, b in sorted(edges)], "a long, b long"
+        )
+        rows = D.duplicate_clusters(pairs, max_iters=12).collect()
+        assert len(rows) == len(touched), f"seed {seed}: duplicate/missing rows"
+        got = {r["k"]: r["cluster"] for r in rows}
+        assert got == want, f"seed {seed}"
