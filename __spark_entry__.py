@@ -435,6 +435,19 @@ _JSON_ARTIFACT = os.path.join(
 )
 
 
+def _normalize_artifact_dir(path: str, ext: str) -> None:
+    """Rewrite a single-part Spark output dir to one deterministically
+    named file (``data.<ext>``) with no _SUCCESS / .crc sidecars, so a
+    seed copy can live in git without churning on re-runs, and the DuckDB
+    oracle's glob matches the same bytes the Spark read-back sees."""
+    for f in os.listdir(path):
+        full = os.path.join(path, f)
+        if f.startswith(".") or f == "_SUCCESS":
+            os.remove(full)
+        elif f.startswith("part-") and f.endswith(ext):
+            os.replace(full, os.path.join(path, f"data{ext}"))
+
+
 def q_csv_roundtrip(spark, sf_dir):
     """CSV ingestion parity (S1, the last test-only source): write the
     documents table as RFC-4180 CSV (escape = quote → doubled quotes),
@@ -453,6 +466,7 @@ def q_csv_roundtrip(spark, sf_dir):
         .option("escape", '"')
         .csv(_CSV_ARTIFACT)
     )
+    _normalize_artifact_dir(_CSV_ARTIFACT, ".csv")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -482,6 +496,7 @@ def q_json_roundtrip(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     d.coalesce(1).write.mode("overwrite").json(_JSON_ARTIFACT)
+    _normalize_artifact_dir(_JSON_ARTIFACT, ".json")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
