@@ -714,6 +714,24 @@ def q_minhash_near_dup(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_dedup_against(spark, sf_dir):
+    """Incremental dedup of a new batch against an existing corpus index
+    (dedup.minhash_duplicates_against): docs 200-299 checked against docs
+    0-199 — the per-ingest "is this already in the corpus" pass. The
+    oracle computes the exact cross-side all-pairs trigram Jaccard, so
+    cross-side recall at J ≥ 0.5 is oracle-checked; within-index pairs
+    must NOT appear."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    index = d.filter(F.col("doc_id") < 200)
+    new = d.filter(F.col("doc_id") >= 200)
+    out = _dedup.minhash_duplicates_against(
+        index, new, "doc_id", threshold=0.5, num_hashes=64, bands=32
+    )
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
+
+
 def q_simhash_groups(spark, sf_dir):
     """SimHash signatures with the portable (md5-based 60-bit) word hash,
     reproduced bit-for-bit by a DuckDB bit-vote SQL oracle: the xor-rollup
@@ -1061,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_report_json": q_report_json,
         "q_metric_drift": q_metric_drift,
         "q_minhash_near_dup": q_minhash_near_dup,
+        "q_dedup_against": q_dedup_against,
         "q_simhash_groups": q_simhash_groups,
         "q_simhash_hamming": q_simhash_hamming,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1437,6 +1456,9 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         "q_minhash_near_dup": _minhash_oracle(),
+        "q_dedup_against": _minhash_oracle(
+            pair_cond="x.doc_id < 200 AND y.doc_id >= 200"
+        ),
         "q_simhash_groups": _simhash_oracle(),
         "q_simhash_hamming": _simhash_hamming_oracle(k=3),
         "q_embedding_near_dup_lsh": _embedding_lsh_oracle(),
@@ -1847,12 +1869,16 @@ def _verdicts_oracle(
     """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    pair_cond: str = "x.doc_id < y.doc_id",
+) -> str:
     """Exact all-pairs 3-gram Jaccard over doc_id<300 — the ground truth
     the LSH-verified pair list must equal (shingle construction mirrors
     dedup._shingles: lowercase, whitespace-collapse, k-word windows with
-    a single whole-doc shingle for docs shorter than k)."""
-    return r"""
+    a single whole-doc shingle for docs shorter than k). ``pair_cond``
+    selects the pair universe: the self-join default, or the
+    index-side × new-side split for q_dedup_against."""
+    return rf"""
         WITH d AS (
           SELECT doc_id,
                  string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
@@ -1868,7 +1894,7 @@ def _minhash_oracle() -> str:
         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
         inter AS (
           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-          FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id
+          FROM e x JOIN e y ON x.g = y.g AND {pair_cond}
           GROUP BY 1, 2
         )
         SELECT inter.a, inter.b,

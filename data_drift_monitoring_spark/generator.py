@@ -312,3 +312,122 @@ def generate_dedup_corpus(
         "n_families": len(fam_members),
         "n_truth_pairs": len(ta),
     }
+
+
+def generate_embedding_corpus(
+    out_dir: str,
+    n_vecs: int = 1_000_000,
+    dim: int = 64,
+    seed: int = 42,
+    num_partitions: int = 32,
+    pair_frac: float = 0.01,
+    n_clusters: int = 200,
+) -> dict:
+    """Deterministic embedding near-dup benchmark corpus with PLANTED
+    cosine ground truth — the large-scale recall evidence fixture the
+    sf0.01 embeddings table (500 vectors, one real pair) cannot provide.
+
+    ``n_vecs`` unit vectors (dim ``dim``, float32) drawn from a mixture
+    of ``n_clusters`` spherical clusters (x = α·center + β·noise with
+    α² = 0.45 — real embedding spaces are clustered, and IVF-style
+    indexes are meaningless on a structureless uniform sphere; pass
+    ``n_clusters=0`` for the uniform worst case). Within-cluster random
+    pairs then sit at cosine ≈ 0.45 ± 0.07 — ≥7σ below the 0.95
+    threshold, so planted truth is still the ≥0.95 truth. ``pair_frac``
+    of vectors are pair sources; each gets ONE planted partner at a
+    controlled cosine, kind drawn uniformly:
+
+      tight — cosine ~ U(0.98, 0.999)  (must match at threshold 0.95)
+      near  — cosine ~ U(0.95, 0.98)   (must match; hardest band)
+      decoy — cosine ~ U(0.60, 0.85)   (must NOT match at 0.95)
+
+    Partner construction: v = c·u + sqrt(1−c²)·w with w a unit vector
+    orthogonal to u, so the planted cosine is exact up to float32
+    rounding; ``truth.parquet`` (a, b, cosine, kind) records the EXACT
+    float64 cosine of the rounded float32 vectors actually written.
+    Random non-planted pairs concentrate at cosine ~ N(0, 1/dim)
+    (σ ≈ 0.125 at dim 64), so nothing unplanted reaches 0.95 — planted
+    truth IS the ≥ 0.95 truth. Pair members are scattered uniformly over
+    the id range (cross-partition, like real dups). Layout:
+    ``out_dir/vecs/part-*.parquet`` (vec_id BIGINT, embedding FLOAT[]),
+    ``out_dir/truth.parquet``. Same arguments → identical corpus."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 2417]))
+    os.makedirs(os.path.join(out_dir, "vecs"), exist_ok=True)
+
+    base = rng.standard_normal((n_vecs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    if n_clusters:
+        centers = rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        alpha = np.sqrt(0.45)
+        cid = rng.integers(0, n_clusters, size=n_vecs)
+        base = alpha * centers[cid] + np.sqrt(1 - alpha**2) * base
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+
+    n_src = int(n_vecs * pair_frac)
+    kinds = rng.choice(np.array(["tight", "near", "decoy"]), size=n_src)
+    lo = np.where(kinds == "tight", 0.98, np.where(kinds == "near", 0.95, 0.60))
+    hi = np.where(kinds == "tight", 0.999, np.where(kinds == "near", 0.98, 0.85))
+    c = rng.uniform(lo, hi)
+
+    u = base[:n_src]
+    w = rng.standard_normal((n_src, dim))
+    w -= (w * u).sum(axis=1, keepdims=True) * u  # orthogonalize
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    partners = c[:, None] * u + np.sqrt(1.0 - c**2)[:, None] * w
+
+    allv = np.concatenate([base, partners], axis=0).astype(np.float32)
+    total = n_vecs + n_src
+    final_id = rng.permutation(total).astype(np.int64)
+
+    # exact truth from the float32 vectors actually written
+    a64 = allv[:n_src].astype(np.float64)
+    b64 = allv[n_vecs:].astype(np.float64)
+    cos = (a64 * b64).sum(axis=1) / (
+        np.linalg.norm(a64, axis=1) * np.linalg.norm(b64, axis=1)
+    )
+    ta = final_id[:n_src]
+    tb = final_id[n_vecs:]
+    swap = ta > tb
+    ta2 = np.where(swap, tb, ta)
+    tb2 = np.where(swap, ta, tb)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array(ta2, type=pa.int64()),
+                pa.array(tb2, type=pa.int64()),
+                pa.array(cos, type=pa.float64()),
+                pa.array(kinds, type=pa.string()),
+            ],
+            names=["a", "b", "cosine", "kind"],
+        ),
+        os.path.join(out_dir, "truth.parquet"),
+    )
+
+    order = np.argsort(final_id)
+    per = total // num_partitions
+    pos = 0
+    for p in range(num_partitions):
+        n = per + (total % num_partitions if p == num_partitions - 1 else 0)
+        sel = order[pos : pos + n]
+        flat = allv[sel].reshape(-1)
+        offsets = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+        emb = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(flat, type=pa.float32())
+        )
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(final_id[sel], type=pa.int64()), emb],
+                names=["vec_id", "embedding"],
+            ),
+            os.path.join(out_dir, "vecs", f"part-{p}.parquet"),
+            row_group_size=16384,
+        )
+        pos += n
+    n_match = int((cos >= 0.95).sum())
+    return {
+        "n_vecs": total,
+        "n_pairs": n_src,
+        "n_truth_ge95": n_match,
+        "n_decoys": int((kinds == "decoy").sum()),
+    }

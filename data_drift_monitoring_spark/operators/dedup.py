@@ -283,6 +283,38 @@ def _salt_oversized(
     )
 
 
+def _band_rows(
+    sigs: DataFrame, key_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode minhash signatures to narrow (k, band, bh) rows — one
+    xxhash64 per band over its signature slice. ~24 B/row through any
+    downstream shuffle; shared by the self-join and the incremental
+    against-index paths."""
+    rows = num_hashes // bands
+    return sigs.select(
+        F.col(key_col).alias("k"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("minhash")[bi * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("k", "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     key_col: str,
@@ -313,29 +345,7 @@ def lsh_candidate_pairs(
     (~0.3% of corpus bytes), so the cache is cheap relative to one
     recompute; eviction under pressure degrades to recompute, never to
     wrong answers."""
-    rows = num_hashes // bands
-    banded = sigs.select(
-        F.col(key_col).alias("k"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("minhash")[bi * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("k", "bb.band", "bb.bh")
+    banded = _band_rows(sigs, key_col, num_hashes, bands)
     # unconditional: even without census salting both self-join sides
     # reference this frame, so uncached the banding subplan (including the
     # signature UDF) runs twice; salting adds the census as a third reader
@@ -416,6 +426,99 @@ def minhash_verified_duplicates(
     # truncates that lineage and materializes it once.
     cand = cand.localCheckpoint(eager=False)
     return ngram_jaccard(df, cand, key_col, text_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_duplicates_against(
+    index: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Incremental near-dup check of a NEW batch against an existing
+    corpus index — the "does this crawl drop duplicate what we already
+    have" operation a training-data pipeline runs per ingest, without
+    re-self-joining the corpus. Returns (a, b, jaccard ≥ threshold) with
+    ``a`` from ``index`` and ``b`` from ``new`` (exact n-gram Jaccard,
+    same verification as minhash_verified_duplicates). Keys must be
+    globally unique across both frames; within-batch duplicates are NOT
+    reported (run minhash_verified_duplicates on ``new`` for those).
+
+    Scale shape: both sides explode to ~24 B (band, bh, key) rows
+    (`_band_rows`); the join is index-banded × new-banded on the band
+    key, so cost is O(corpus bands + batch bands + collisions), never the
+    corpus self-join. Skew guard is EXACT here (unlike the self-join
+    chunk-salt): oversized index-side buckets are hash-split into chunks
+    and the (small) new side is replicated across the chunks —
+    no cross-chunk pairs are lost, each task is bounded at
+    cap × batch-bucket comparisons."""
+    sig_i = minhash_signatures(index, text_col, num_hashes, shingle_k, seed)
+    sig_n = minhash_signatures(new, text_col, num_hashes, shingle_k, seed)
+    bi = _band_rows(
+        sig_i.select(key_col, "minhash"), key_col, num_hashes, bands
+    ).persist()
+    bn = _band_rows(
+        sig_n.select(key_col, "minhash"), key_col, num_hashes, bands
+    )
+
+    if max_bucket_size is not None:
+        census = (
+            bi.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select(
+                "band",
+                "bh",
+                F.ceil(F.col("_n") / max_bucket_size).cast("int").alias("_ch"),
+            )
+        )
+        bi = bi.join(F.broadcast(census), on=["band", "bh"], how="left").select(
+            "band",
+            "bh",
+            F.coalesce(
+                F.pmod(F.xxhash64(F.col("k")), F.col("_ch")).cast("int"),
+                F.lit(0),
+            ).alias("_salt"),
+            F.col("k").alias("a"),
+        )
+        bn = (
+            bn.join(F.broadcast(census), on=["band", "bh"], how="left")
+            .select(
+                "band",
+                "bh",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.col("_ch"), F.lit(1)) - 1
+                    )
+                ).alias("_salt"),
+                F.col("k").alias("b"),
+            )
+        )
+    else:
+        bi = bi.select(
+            "band", "bh", F.lit(0).alias("_salt"), F.col("k").alias("a")
+        )
+        bn = bn.select(
+            "band", "bh", F.lit(0).alias("_salt"), F.col("k").alias("b")
+        )
+
+    cand = (
+        bi.join(bn, on=["band", "bh", "_salt"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    both = index.select(F.col(key_col), F.col(text_col)).unionByName(
+        new.select(F.col(key_col), F.col(text_col))
+    )
+    return ngram_jaccard(both, cand, key_col, text_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
 

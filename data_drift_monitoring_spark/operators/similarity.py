@@ -83,8 +83,14 @@ def kmeans_centroids(
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
+        # chunked exact-subtract distances: the full (n, k, dim) tensor is
+        # ~6 GB at a 50k sample x 256 cells, so assign in bounded blocks
+        # (identical numerics to the unchunked form)
+        assign = np.empty(len(x), dtype=np.int64)
+        for s in range(0, len(x), 8192):
+            blk = x[s : s + 8192]
+            d2 = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign[s : s + len(blk)] = d2.argmin(1)
         for j in range(len(cent)):
             m = assign == j
             if m.any():

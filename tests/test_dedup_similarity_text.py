@@ -530,3 +530,102 @@ def test_duplicate_clusters_random_graphs_match_union_find(spark):
         assert len(rows) == len(touched), f"seed {seed}: duplicate/missing rows"
         got = {r["k"]: r["cluster"] for r in rows}
         assert got == want, f"seed {seed}"
+
+
+def test_embedding_corpus_generator_deterministic(tmp_path):
+    """Same args → identical corpus bytes and truth; planted cosine bands
+    land where the construction promises (numpy-only, no Spark)."""
+    import duckdb
+
+    from data_drift_monitoring_spark.generator import generate_embedding_corpus
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1 = generate_embedding_corpus(d1, n_vecs=3000, dim=64, seed=7, num_partitions=2)
+    s2 = generate_embedding_corpus(d2, n_vecs=3000, dim=64, seed=7, num_partitions=2)
+    assert s1 == s2
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT kind, min(cosine), max(cosine) FROM '{d1}/truth.parquet' "
+        "GROUP BY kind ORDER BY kind"
+    ).fetchall()
+    bands = {k: (lo, hi) for k, lo, hi in rows}
+    assert 0.60 <= bands["decoy"][0] and bands["decoy"][1] <= 0.85 + 1e-6
+    assert 0.95 <= bands["near"][0] and bands["near"][1] <= 0.98 + 1e-6
+    assert 0.98 <= bands["tight"][0] and bands["tight"][1] <= 0.999 + 1e-6
+    t1 = con.execute(f"SELECT md5(string_agg(a||','||b||','||kind, ';' ORDER BY a,b)) FROM '{d1}/truth.parquet'").fetchone()
+    t2 = con.execute(f"SELECT md5(string_agg(a||','||b||','||kind, ';' ORDER BY a,b)) FROM '{d2}/truth.parquet'").fetchone()
+    assert t1 == t2
+
+
+def test_embedding_near_dup_recall_on_planted_corpus(spark, tmp_path):
+    """End-to-end LSH recall vs planted cosine truth at a small scale of
+    the 1M benchmark fixture: every planted pair ≥0.95 found at the
+    planes=24/tables=40 operating point, no decoy or unplanted pairs."""
+    import duckdb
+
+    from data_drift_monitoring_spark.generator import generate_embedding_corpus
+
+    d = str(tmp_path / "emb")
+    generate_embedding_corpus(d, n_vecs=8000, dim=64, seed=11, num_partitions=4)
+    vecs = spark.read.parquet(f"{d}/vecs")
+    pairs = D.embedding_near_duplicates(
+        vecs, "vec_id", "embedding",
+        threshold=0.95, planes=24, tables=40, dim=64,
+    )
+    found = {(r["a"], r["b"]) for r in pairs.select("a", "b").collect()}
+    truth = dict()
+    for a, b, c, k in duckdb.connect().execute(
+        f"SELECT a, b, cosine, kind FROM '{d}/truth.parquet'"
+    ).fetchall():
+        truth[(a, b)] = (c, k)
+    must = {p for p, (c, _) in truth.items() if c >= 0.95}
+    assert len(must) > 30
+    recall = len(found & must) / len(must)
+    assert recall >= 0.9, f"recall {recall}"
+    assert not (found - set(truth)), "unplanted pairs found"
+    assert not {p for p in found if truth.get(p, (0, ""))[1] == "decoy"}
+
+
+def test_minhash_duplicates_against(spark):
+    """Incremental against-index dedup: only cross-side pairs are
+    reported (within-index dups excluded), and the census skew guard is
+    EXACT — forcing every bucket oversized (max_bucket_size=1) replicates
+    the new side across chunks and still finds every pair."""
+    # 16 words → 14 trigram shingles; a one-word swap changes 3 of them,
+    # leaving Jaccard 11/17 ≈ 0.65 — above the 0.5 verify threshold
+    base = (
+        "spark shuffle exchange partition codegen broadcast join scan "
+        "stage task executor driver catalyst tungsten arrow parquet"
+    )
+    index = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # within-index exact dup of 0 — must NOT appear
+            (2, "completely different words about gardens and rivers flow"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of 0 and 1
+            (11, base.replace("codegen", "velox")),  # near dup, J = 11/17
+            (12, "unrelated text with zero overlap tokens whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"])
+        for r in D.minhash_duplicates_against(
+            index, new, "doc_id", threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert out == {(0, 10), (1, 10), (0, 11), (1, 11)}
+
+    salted = {
+        (r["a"], r["b"])
+        for r in D.minhash_duplicates_against(
+            index, new, "doc_id",
+            threshold=0.5, num_hashes=64, bands=32, max_bucket_size=1,
+        ).collect()
+    }
+    assert salted == out
