@@ -75,6 +75,7 @@ HEADLINE = [
     # round 3 additions
     "q_simhash_hamming",
     "q_lang_id_accuracy",
+    "q_dedup_against",
 ]
 
 

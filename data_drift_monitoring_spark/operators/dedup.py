@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
+from .similarity import vec_matrix
+
 # Mersenne prime 2^31-1: universal hashing a*x+b mod p. The 31-bit field
 # keeps every product < 2^62, safe under ANSI int64 overflow checking
 # (a 61-bit prime would overflow a*h for full-range xxhash64 inputs).
@@ -775,7 +777,7 @@ def embedding_near_duplicates(
 
     @pandas_udf("array<long>")
     def _codes(v: pd.Series) -> pd.Series:
-        x = np.array(v.tolist(), dtype=np.float64)
+        x = vec_matrix(v)
         bits = (x @ planes_m.T) > 0
         codes = bits.reshape(len(x), n_tables, -1).astype(np.int64) @ pow2
         return pd.Series([row.tolist() for row in codes])

@@ -18,6 +18,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def vec_matrix(col) -> np.ndarray:
+    """Stack an Arrow-delivered batch of array<float> values (a pandas
+    Series/column of float32 ndarrays) into an (n, dim) float64 matrix.
+    np.stack on the ndarray elements is pure C; the previous
+    ``np.array(col.tolist())`` boxed every element through Python floats
+    (measurably the top cost of the codes/assign UDFs at 1M vectors).
+    float32→float64 widening is exact, so numerics are bit-identical."""
+    vals = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col)
+    return np.stack(vals).astype(np.float64, copy=False)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
@@ -79,7 +90,7 @@ def kmeans_centroids(
         corpus.select(vec_col).sample(fraction=sample_fraction, seed=seed)
         .toPandas()
     )
-    x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    x = vec_matrix(pdf[vec_col])
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -114,7 +125,7 @@ def _cell_assign(vec_col, centroids: np.ndarray):
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
-        x = np.array(v.tolist(), dtype=np.float64)
+        x = vec_matrix(v)
         d2 = c_sq[None, :] - 2.0 * (x @ c.T)
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
@@ -149,7 +160,7 @@ def ivf_topk(
     cells. Query→cells mapping is computed driver-side (queries are small),
     the probe is a broadcast join pruned by cell."""
     qpdf = queries.select(query_key, vec_col).toPandas()
-    qv = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    qv = vec_matrix(qpdf[vec_col])
     d2 = ((qv[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
     probe_rows = []
     for i, qid in enumerate(qpdf[query_key]):

@@ -5,13 +5,19 @@ bench_dedup_scale.py): run embedding_near_duplicates end-to-end on a
 planted ≥0.95 truth, runtime, throughput, shuffle volume — plus IVF ANN
 recall@10 vs exact brute force on the same corpus.
 
-Operating point: threshold 0.95, planes=24, tables=40. Unlike the gate's
-tiny-corpus point (6 planes x 8 tables), a 1M corpus needs planes ~
-log2(n) + margin so random-pair bucket collisions (P = 0.5^planes per
-table for near-orthogonal pairs) stay ~1e-7 — expected junk candidates
-~ n^2/2 * 40 * 6e-8 ~ 1.2M, each costing one JVM dot product. Planted
-recall at the 0.95 edge is 1-(1-p^24)^40 with p = 1-acos(0.95)/pi ~
-0.96; tighter pairs approach 1.
+Operating point: threshold 0.95, planes=28, tables=64. The corpus is
+CLUSTERED (200 mixture components, within-cluster cosine ~0.45 — like
+real embedding spaces), so the junk-candidate load is set by
+within-cluster pairs, not near-orthogonal ones: p_bit(0.45) =
+1-acos(0.45)/pi ~ 0.649, so junk candidates per table scale with
+0.649^planes. planes=24/tables=40 (the first operating point measured)
+let ~45M junk within-cluster candidates through — a 3 GB candidate
+exchange plus 45M JVM dot-product verifies dominated the runtime.
+planes=28 cuts the junk rate ~5.7x per table; 64 tables restore recall:
+at the 0.95 edge per-table hit p = (1-acos(0.95)/pi)^28 ~ 0.051 →
+1-(1-0.051)^64 ~ 0.965, rising to ~1.0 by cosine 0.97. Expected junk
+~ 2.5e9 within-cluster pairs * 0.649^28 * 64 ~ 0.9M (50x fewer), for
+1.6x more banded rows — the cheap side of the LSH trade.
 
 Usage: python scripts/bench_embedding_scale.py [--vecs 1000000] [--cpus 16]
 Prints one JSON line.
@@ -37,8 +43,8 @@ from bench_dedup_scale import shuffle_totals  # noqa: E402
 SEED = 42
 DIM = 64
 THRESHOLD = 0.95
-PLANES = 24
-TABLES = 40
+PLANES = 28
+TABLES = 64
 
 
 def main() -> None:
