@@ -778,6 +778,24 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_embedding_against(spark, sf_dir):
+    """Incremental embedding dedup of a new batch against a corpus index
+    (dedup.embedding_near_duplicates_against): vectors 250+ checked
+    against vectors 0-249 with the same hyperplanes as the self-join
+    form. The oracle is the exact cross-side all-pairs cosine SQL, so
+    cross-side recall at the threshold is oracle-checked; within-side
+    pairs must NOT appear."""
+    e = _read(spark, sf_dir, "embeddings")
+    out = _dedup.embedding_near_duplicates_against(
+        e.filter(F.col("vec_id") < 250),
+        e.filter(F.col("vec_id") >= 250),
+        threshold=0.5, planes=6, tables=8, dim=64,
+    )
+    return out.select(
+        "a", "b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("a", "b")
+
+
 def q_outlier_samples(spark, sf_dir):
     """A10 (outliers.py:147-149): the 5 most extreme IQR-outlier values per
     group, via the engine's profile → bounds → violations chain."""
@@ -1083,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_groups": q_simhash_groups,
         "q_simhash_hamming": q_simhash_hamming,
         "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "q_embedding_against": q_embedding_against,
         "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
         "q_remediation": q_remediation,
         "q_score_trends": q_score_trends,
@@ -1462,6 +1481,9 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_groups": _simhash_oracle(),
         "q_simhash_hamming": _simhash_hamming_oracle(k=3),
         "q_embedding_near_dup_lsh": _embedding_lsh_oracle(),
+        "q_embedding_against": _embedding_lsh_oracle(
+            pair_cond="a.vec_id < 250 AND b.vec_id >= 250"
+        ),
         # full-probe IVF must reproduce the exact brute-force ranking
         "q_ann_ivf": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -1951,12 +1973,15 @@ def _simhash_oracle() -> str:
     """
 
 
-def _embedding_lsh_oracle() -> str:
-    return """
+def _embedding_lsh_oracle(pair_cond: str = "a.vec_id < b.vec_id") -> str:
+    """Exact all-pairs cosine ≥ 0.5; ``pair_cond`` selects the pair
+    universe (self-join default, or the index × new split for
+    q_embedding_against)."""
+    return f"""
         WITH p AS (
           SELECT a.vec_id AS a, b.vec_id AS b,
                  list_cosine_similarity(a.embedding, b.embedding) AS c
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          FROM embeddings a JOIN embeddings b ON {pair_cond}
         )
         SELECT a, b, ROUND(CAST(c AS DOUBLE), 4) AS cosine FROM p
         WHERE c >= 0.5 ORDER BY a, b

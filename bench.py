@@ -76,6 +76,7 @@ HEADLINE = [
     "q_simhash_hamming",
     "q_lang_id_accuracy",
     "q_dedup_against",
+    "q_embedding_against",
 ]
 
 

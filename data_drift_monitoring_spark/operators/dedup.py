@@ -432,6 +432,57 @@ def minhash_verified_duplicates(
     )
 
 
+def _cross_salt(
+    bi: DataFrame,
+    bn: DataFrame,
+    bucket_cols: list[str],
+    a_name: str,
+    b_name: str,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT skew guard for an index-side × new-side bucket join: census
+    the index side, hash-split buckets above ``max_bucket_size`` into
+    chunks, and replicate the (small) new side across the chunks. Unlike
+    the self-join chunk-salt (`_salt_oversized`) no cross-chunk pairs are
+    lost — the new side meets every chunk — while each task is bounded at
+    cap × batch-bucket comparisons. Both frames come back as
+    (*bucket_cols, _salt, key) ready to join on bucket_cols + _salt."""
+    if max_bucket_size is None:
+        return (
+            bi.select(
+                *bucket_cols, F.lit(0).alias("_salt"), F.col("k").alias(a_name)
+            ),
+            bn.select(
+                *bucket_cols, F.lit(0).alias("_salt"), F.col("k").alias(b_name)
+            ),
+        )
+    census = (
+        bi.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(
+            *bucket_cols,
+            F.ceil(F.col("_n") / max_bucket_size).cast("int").alias("_ch"),
+        )
+    )
+    bi2 = bi.join(F.broadcast(census), on=bucket_cols, how="left").select(
+        *bucket_cols,
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col("k")), F.col("_ch")).cast("int"),
+            F.lit(0),
+        ).alias("_salt"),
+        F.col("k").alias(a_name),
+    )
+    bn2 = bn.join(F.broadcast(census), on=bucket_cols, how="left").select(
+        *bucket_cols,
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("_ch"), F.lit(1)) - 1)
+        ).alias("_salt"),
+        F.col("k").alias(b_name),
+    )
+    return bi2, bn2
+
+
 def minhash_duplicates_against(
     index: DataFrame,
     new: DataFrame,
@@ -470,46 +521,7 @@ def minhash_duplicates_against(
         sig_n.select(key_col, "minhash"), key_col, num_hashes, bands
     )
 
-    if max_bucket_size is not None:
-        census = (
-            bi.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select(
-                "band",
-                "bh",
-                F.ceil(F.col("_n") / max_bucket_size).cast("int").alias("_ch"),
-            )
-        )
-        bi = bi.join(F.broadcast(census), on=["band", "bh"], how="left").select(
-            "band",
-            "bh",
-            F.coalesce(
-                F.pmod(F.xxhash64(F.col("k")), F.col("_ch")).cast("int"),
-                F.lit(0),
-            ).alias("_salt"),
-            F.col("k").alias("a"),
-        )
-        bn = (
-            bn.join(F.broadcast(census), on=["band", "bh"], how="left")
-            .select(
-                "band",
-                "bh",
-                F.explode(
-                    F.sequence(
-                        F.lit(0), F.coalesce(F.col("_ch"), F.lit(1)) - 1
-                    )
-                ).alias("_salt"),
-                F.col("k").alias("b"),
-            )
-        )
-    else:
-        bi = bi.select(
-            "band", "bh", F.lit(0).alias("_salt"), F.col("k").alias("a")
-        )
-        bn = bn.select(
-            "band", "bh", F.lit(0).alias("_salt"), F.col("k").alias("b")
-        )
+    bi, bn = _cross_salt(bi, bn, ["band", "bh"], "a", "b", max_bucket_size)
 
     cand = (
         bi.join(bn, on=["band", "bh", "_salt"])
@@ -758,13 +770,33 @@ def embedding_near_duplicates(
         )
 
     d = df.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
-    v = F.col("v")
+    banded = _hyperplane_banded(d, planes, tables, seed, dim)
+    # persist: census + both self-join sides otherwise each re-run the
+    # codes matmul UDF over every vector (3x, plan-verified); the cached
+    # frame is (key, t, code) ~20 B x tables/vector.
+    banded = banded.persist()
+    banded = _salt_oversized(banded, ["t", "code"], "k", max_bucket_size)
+    a = banded.select("t", "code", "_salt", F.col("k").alias("a"))
+    b = banded.select("t", "code", "_salt", F.col("k").alias("b"))
+    pairs = (
+        a.join(b, on=["t", "code", "_salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return _cosine_verify(d, pairs, threshold)
 
-    # ALL tables' sign codes from ONE Arrow matmul: X (n × dim) against the
-    # stacked (tables·planes × dim) hyperplane matrix, sign bits packed to
-    # an int64 per table. A literal-expression variant (tables × planes
-    # zip_with dot products per row) costs seconds of codegen at even 48
-    # plane rows and grows linearly; this holds to hundreds of tables.
+
+def _hyperplane_banded(
+    d: DataFrame, planes: int, tables: int, seed: int, dim: int
+) -> DataFrame:
+    """(k, v) → narrow (k, t, code) rows: every table's sign code for
+    every vector. ALL tables' codes come from ONE Arrow matmul: X (n ×
+    dim) against the stacked (tables·planes × dim) hyperplane matrix,
+    sign bits packed to an int64 per table. A literal-expression variant
+    (tables × planes zip_with dot products per row) costs seconds of
+    codegen at even 48 plane rows and grows linearly; this holds to
+    hundreds of tables."""
     planes_m = np.concatenate(
         [
             np.random.default_rng(seed + t).standard_normal((planes, dim))
@@ -782,22 +814,17 @@ def embedding_near_duplicates(
         codes = bits.reshape(len(x), n_tables, -1).astype(np.int64) @ pow2
         return pd.Series([row.tolist() for row in codes])
 
-    banded = d.select("k", F.posexplode(_codes("v")).alias("t", "code"))
-    # persist: census + both self-join sides otherwise each re-run the
-    # codes matmul UDF over every vector (3x, plan-verified); the cached
-    # frame is (key, t, code) ~20 B x tables/vector.
-    banded = banded.persist()
-    banded = _salt_oversized(banded, ["t", "code"], "k", max_bucket_size)
-    a = banded.select("t", "code", "_salt", F.col("k").alias("a"))
-    b = banded.select("t", "code", "_salt", F.col("k").alias("b"))
-    pairs = (
-        a.join(b, on=["t", "code", "_salt"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
-    # norms are per-vector, not per-pair: compute once before the join-back
-    # so each candidate pair pays one dot product, not three array passes
+    return d.select("k", F.posexplode(_codes("v")).alias("t", "code"))
+
+
+def _cosine_verify(
+    d: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Join vectors back to the (a, b) candidate set and keep pairs with
+    exact cosine ≥ threshold. Norms are per-vector, not per-pair: computed
+    once before the join-back so each candidate pair pays one dot product,
+    not three array passes."""
+    v = F.col("v")
     norm = F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
@@ -819,6 +846,54 @@ def embedding_near_duplicates(
         .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_near_duplicates_against(
+    index: DataFrame,
+    new: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    max_bucket_size: int | None = 2000,
+    tables: int = 1,
+) -> DataFrame:
+    """Incremental embedding near-dup check of a NEW batch against an
+    existing corpus index — the embedding twin of
+    `minhash_duplicates_against`: "is this new vector near anything we
+    already have", per ingest, without re-self-joining the corpus.
+    Returns (a, b, cosine ≥ threshold) with ``a`` from ``index`` and
+    ``b`` from ``new``. Keys must be globally unique across both frames;
+    within-batch pairs are NOT reported (run `embedding_near_duplicates`
+    on ``new`` for those).
+
+    Both sides are coded with the SAME hyperplanes (`_hyperplane_banded`,
+    seeds seed..seed+tables-1), so a pair collides exactly as it would in
+    the self-join form — recall math is identical. The join is
+    index-banded × new-banded on (t, code); the skew guard is EXACT
+    (`_cross_salt`): oversized index buckets are hash-chunked and the
+    (small) new side is replicated across the chunks, so no cross-side
+    pair is lost. Candidates get the same exact cosine verification."""
+    if dim is None:
+        raise ValueError(
+            "embedding_near_duplicates_against requires dim= (the "
+            "embedding width); inferring it would run a driver-side job "
+            "mid-plan"
+        )
+    di = index.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    dn_ = new.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
+    bi = _hyperplane_banded(di, planes, tables, seed, dim).persist()
+    bn = _hyperplane_banded(dn_, planes, tables, seed, dim)
+    bi, bn = _cross_salt(bi, bn, ["t", "code"], "a", "b", max_bucket_size)
+    cand = (
+        bi.join(bn, on=["t", "code", "_salt"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=False)
+    )
+    return _cosine_verify(di.unionByName(dn_), cand, threshold)
 
 
 def duplicate_clusters(

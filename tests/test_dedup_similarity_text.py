@@ -586,6 +586,53 @@ def test_embedding_near_dup_recall_on_planted_corpus(spark, tmp_path):
     assert not {p for p in found if truth.get(p, (0, ""))[1] == "decoy"}
 
 
+def test_embedding_near_duplicates_against(spark, tmp_path):
+    """Incremental embedding against-index dedup: cross-side planted
+    pairs ≥0.95 are found (same hyperplanes as the self-join form, so
+    recall math is unchanged), within-side pairs are NOT reported, and
+    the exact cross-salt guard (max_bucket_size=1) loses nothing."""
+    import duckdb
+
+    from data_drift_monitoring_spark.generator import generate_embedding_corpus
+
+    d = str(tmp_path / "emb")
+    generate_embedding_corpus(d, n_vecs=4000, dim=64, seed=13, num_partitions=2)
+    vecs = spark.read.parquet(f"{d}/vecs")
+    split = 2000
+    index = vecs.filter(F.col("vec_id") < split)
+    new = vecs.filter(F.col("vec_id") >= split)
+    out = D.embedding_near_duplicates_against(
+        index, new, threshold=0.95, planes=24, tables=40, dim=64
+    )
+    found = {(r["a"], r["b"]) for r in out.select("a", "b").collect()}
+    truth = {
+        (a, b): (c, k)
+        for a, b, c, k in duckdb.connect()
+        .execute(f"SELECT a, b, cosine, kind FROM '{d}/truth.parquet'")
+        .fetchall()
+    }
+    crossing = {
+        p for p, (c, _) in truth.items()
+        if c >= 0.95 and (p[0] < split) != (p[1] < split)
+    }
+    assert len(crossing) > 5
+    assert not {p for p in found if (p[0] < split) == (p[1] < split)}, (
+        "within-side pair reported"
+    )
+    recall = len(found & crossing) / len(crossing)
+    assert recall >= 0.9, f"recall {recall}"
+    assert not (found - set(truth)), "unplanted pairs found"
+
+    salted = {
+        (r["a"], r["b"])
+        for r in D.embedding_near_duplicates_against(
+            index, new, threshold=0.95, planes=24, tables=40, dim=64,
+            max_bucket_size=1,
+        ).select("a", "b").collect()
+    }
+    assert salted == found
+
+
 def test_minhash_duplicates_against(spark):
     """Incremental against-index dedup: only cross-side pairs are
     reported (within-index dups excluded), and the census skew guard is
