@@ -840,9 +840,15 @@ def _cosine_verify(
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
+    # no join-strategy hint: the deduplicated candidate set is usually a
+    # tiny fraction of the corpus, and leaving the choice to AQE lets it
+    # broadcast the pairs side — then the corpus vectors are probed
+    # map-side and NEVER shuffled. If a mis-tuned operating point floods
+    # the candidate set past the broadcast threshold, AQE degrades to a
+    # shuffled join instead of OOMing the driver.
     return (
-        pairs.join(va.hint("shuffle_hash"), on="a")
-        .join(vb.hint("shuffle_hash"), on="b")
+        pairs.join(va, on="a")
+        .join(vb, on="b")
         .select("a", "b", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
