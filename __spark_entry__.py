@@ -28,6 +28,7 @@ from data_drift_monitoring_spark.operators import dedup as _dedup
 from data_drift_monitoring_spark.operators import drift as _drift
 from data_drift_monitoring_spark.operators import histogram as _hist
 from data_drift_monitoring_spark.operators import outliers as _out
+from data_drift_monitoring_spark.operators import sampling as _sampling
 from data_drift_monitoring_spark.operators import similarity as _sim
 from data_drift_monitoring_spark.operators import stats as _stats
 from data_drift_monitoring_spark.operators import text_analysis as _ta
@@ -365,6 +366,83 @@ def q_drift_verdict_sources(spark, sf_dir):
     return out.select(
         "col", F.round("psi", 6).alias("psi"), "psi_drift",
         F.round("js_divergence", 6).alias("js_divergence"),
+    )
+
+
+# vocab for the PORTABLE token ids (md5-based word hash, reproducible in
+# DuckDB) — the xxhash64 ids in _sequences_view are Spark-only
+_PORTABLE_VOCAB = 32768
+
+
+def _portable_sequences_view(spark, sf_dir):
+    """Sequence view whose token ids both engines can compute bit-exactly:
+    tok = ('0x'||substr(md5(word),1,15))::bigint % 32768 (60-bit positive,
+    so pmod == %)."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    return d.select(
+        "doc_id",
+        F.transform(
+            words,
+            lambda w: F.pmod(
+                F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+                F.lit(_PORTABLE_VOCAB),
+            ).cast("int"),
+        ).alias("tokens"),
+    )
+
+
+def q_token_drift(spark, sf_dir):
+    """Unigram-distribution drift on the token ids themselves (vocabulary
+    usage between doc_id-parity halves) + out-of-vocabulary evidence —
+    drift over the token payload, not just the n_tok length proxy."""
+    seq = _portable_sequences_view(spark, sf_dir)
+    cur = seq.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    ref = seq.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    out = _drift.token_drift(cur, ref)
+    return out.select(
+        "col",
+        "n_cur",
+        "n_ref",
+        F.round("psi", 6).alias("psi"),
+        F.round("js_divergence", 6).alias("js_divergence"),
+        F.round("chi2_stat", 4).alias("chi2_stat"),
+        "chi2_dof",
+        "psi_drift",
+        "new_tokens",
+        F.round("oov_pct", 4).alias("oov_pct"),
+    )
+
+
+# stratified-sample gate rates — shared by the Spark query AND the oracle
+# CASE expression (one source of truth, LANG_MARKERS-style)
+_SAMPLE_RATES = {
+    "src0": 0.5, "src1": 0.5, "src2": 0.5, "src3": 0.25, "src4": 0.25,
+}
+_SAMPLE_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sample of documents by source —
+    mixture-weight control. sum_sampled_ids pins the EXACT selected row
+    set against the oracle, not just per-stratum counts."""
+    d = _read(spark, sf_dir, "documents")
+    kept = _sampling.stratified_sample(
+        d,
+        _SAMPLE_RATES,
+        strata_col="source",
+        key_col="doc_id",
+        default_rate=_SAMPLE_DEFAULT,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_sampled_ids"),
+        )
+        .orderBy("source")
     )
 
 
@@ -1077,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_quantity": q_psi_quantity,
         "q_chi2_returnflag": q_chi2_returnflag,
         "q_drift_verdict_sources": q_drift_verdict_sources,
+        "q_token_drift": q_token_drift,
+        "q_stratified_sample": q_stratified_sample,
         "q_events_hourly": q_events_hourly,
         "q_corpus_summary": q_corpus_summary,
         "q_token_counts": q_token_counts,
@@ -1317,6 +1397,8 @@ def oracle_sql() -> dict[str, str]:
         "q_psi_quantity": _psi_oracle(),
         "q_chi2_returnflag": _chi2_oracle(),
         "q_drift_verdict_sources": _source_drift_oracle(),
+        "q_token_drift": _token_drift_oracle(),
+        "q_stratified_sample": _stratified_sample_oracle(),
         "q_metric_drift": _metric_drift_oracle(),
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start,
@@ -1593,6 +1675,91 @@ def _psi_oracle() -> str:
                     WHEN agg.psi < 0.25 THEN 'moderate'
                     ELSE 'large' END AS psi_drift
         FROM agg, ks
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(r * 1_000_000)}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH s AS (
+          SELECT source, doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS h,
+                 CASE source {case}
+                      ELSE {int(_SAMPLE_DEFAULT * 1_000_000)} END AS keep_below
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_sampled_ids
+        FROM s WHERE h < keep_below
+        GROUP BY source ORDER BY source
+    """
+
+
+def _token_drift_oracle() -> str:
+    # token ids mirror _portable_sequences_view bit-exactly:
+    # ('0x'||substr(md5(w),1,15))::BIGINT == Spark conv(substring(md5,1,15),16,10)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id % 2 AS half,
+                 (('0x' || substr(md5(unnest({_WORDS})), 1, 15))::BIGINT
+                   % {_PORTABLE_VOCAB}) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT tok,
+                 SUM(CASE WHEN half=1 THEN 1 ELSE 0 END) AS cur_cnt,
+                 SUM(CASE WHEN half=0 THEN 1 ELSE 0 END) AS ref_cnt
+          FROM toks GROUP BY 1
+        ),
+        t AS (
+          SELECT cur_cnt, ref_cnt,
+                 SUM(cur_cnt) OVER () AS n_cur,
+                 SUM(ref_cnt) OVER () AS n_ref,
+                 CAST(cur_cnt AS DOUBLE)/SUM(cur_cnt) OVER () AS p,
+                 CAST(ref_cnt AS DOUBLE)/SUM(ref_cnt) OVER () AS q
+          FROM h
+        ),
+        agg AS (
+          SELECT MAX(n_cur) AS n_cur,
+                 MAX(n_ref) AS n_ref,
+                 SUM((p - q) * ln(GREATEST(p, 1e-6)/GREATEST(q, 1e-6))) AS psi,
+                 SUM(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p+q)/2)) ELSE 0 END
+                   + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p+q)/2)) ELSE 0 END)
+                     AS js,
+                 SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN
+                     POW(cur_cnt - n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
+                       / (n_cur*(cur_cnt+ref_cnt)/(n_cur+n_ref))
+                   + POW(ref_cnt - n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref), 2)
+                       / (n_ref*(cur_cnt+ref_cnt)/(n_cur+n_ref))
+                   ELSE 0 END) AS chi2,
+                 SUM(CASE WHEN cur_cnt + ref_cnt > 0 THEN 1 ELSE 0 END) - 1 AS dof
+          FROM t
+        ),
+        oov AS (
+          SELECT CAST(SUM(CASE WHEN ref_cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS new_tokens,
+                 ROUND(100.0 * SUM(CASE WHEN ref_cnt = 0 THEN cur_cnt ELSE 0 END)
+                       / SUM(cur_cnt), 4) AS oov_pct
+          FROM h WHERE cur_cnt > 0
+        )
+        SELECT 'tokens_unigram' AS col,
+               CAST(agg.n_cur AS BIGINT) AS n_cur,
+               CAST(agg.n_ref AS BIGINT) AS n_ref,
+               ROUND(agg.psi, 6) AS psi,
+               ROUND(agg.js, 6) AS js_divergence,
+               ROUND(agg.chi2, 4) AS chi2_stat,
+               CAST(agg.dof AS BIGINT) AS chi2_dof,
+               CASE WHEN agg.psi < 0.1 THEN 'none'
+                    WHEN agg.psi < 0.25 THEN 'moderate'
+                    ELSE 'large' END AS psi_drift,
+               oov.new_tokens,
+               oov.oov_pct
+        FROM agg, oov
     """
 
 

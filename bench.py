@@ -77,6 +77,8 @@ HEADLINE = [
     "q_lang_id_accuracy",
     "q_dedup_against",
     "q_embedding_against",
+    "q_token_drift",
+    "q_stratified_sample",
 ]
 
 

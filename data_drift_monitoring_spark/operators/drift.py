@@ -381,3 +381,88 @@ def with_drift_pvalues(
             | F.col("chi2_significant"),
         )
     )
+
+
+def token_unigram_histogram(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    partition_col: str | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """Unigram histogram of a token-array column: (part_id?, col, bin, cnt).
+
+    Scale shape: the explode is narrow (no shuffle) and the count
+    partial-aggregates map-side, so the single exchange carries at most
+    |vocab| rows per map task regardless of corpus size — at 10^12
+    sequences the shuffled bytes are bounded by vocab x tasks, never by
+    token occurrences. ``bin`` is the zero-padded token id (lexicographic
+    == numeric order) so the result plugs into :func:`drift_stats`
+    unchanged.
+    """
+    name = name or f"{tokens_col}_unigram"
+    keys = [partition_col] if partition_col else []
+    return (
+        df.select(*keys, F.explode(F.col(tokens_col)).alias("tok"))
+        .groupBy(*keys, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *keys,
+            F.lit(name).alias("col"),
+            F.lpad(F.col("tok").cast("string"), 8, "0").alias("bin"),
+            "cnt",
+        )
+    )
+
+
+def token_drift(
+    cur: DataFrame,
+    ref: DataFrame,
+    tokens_col: str = "tokens",
+    config: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Unigram-distribution drift between two token-sequence tables.
+
+    Drift on the token ids themselves (vocabulary usage) rather than the
+    sequence-length proxy ``n_tok``: PSI / JS / chi-square via
+    :func:`drift_stats` over the two vocab-bounded unigram histograms,
+    plus out-of-vocabulary evidence — ``new_tokens`` (ids occurring in
+    ``cur`` but never seen in ``ref``) and ``oov_pct`` (share of current
+    token OCCURRENCES on those unseen ids). ``ks_stat`` is dropped:
+    hashed token ids carry no meaningful order, so an ECDF gap over them
+    is noise.
+
+    Reference parity note: the reference's drift modules are 0-byte stubs
+    (``backend/app/core/drift/*.py``); this extends the promised
+    column-level drift to the token payload itself (BASELINE.json
+    north-star: drift checks over pre-tokenized training sequences).
+    """
+    cur_h = token_unigram_histogram(cur, tokens_col).cache()
+    ref_h = token_unigram_histogram(ref, tokens_col)
+    stats = drift_stats(cur_h, ref_h, partition_col=None, config=config)
+    # OOV from the same cached cur histogram; ref side is vocab-bounded
+    # and broadcast, so this adds no second scan of either corpus
+    oov = (
+        cur_h.join(
+            F.broadcast(ref_h.select("bin", F.lit(1).alias("_seen"))),
+            on="bin",
+            how="left",
+        )
+        .groupBy("col")
+        .agg(
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("new_tokens"),
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("_seen").isNull(), F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("cnt")
+            ).alias("oov_pct"),
+        )
+    )
+    out = stats.drop("ks_stat").join(oov, on="col", how="left")
+    out._cached_intermediates = [cur_h, *getattr(stats, "_cached_intermediates", [])]
+    return out

@@ -1,0 +1,73 @@
+"""Deterministic stratified sampling for training-data mixture control.
+
+Hash-based Bernoulli sampling per stratum: a row survives iff
+``h(key) mod D < floor(rate_stratum * D)`` where ``h`` is the 60-bit
+md5-prefix hash (:func:`..operators.dedup.portable_word_hash`). Properties
+that matter at 10^12-sequence scale:
+
+- **Deterministic**: the sample is a pure function of the key — identical
+  across reruns, cluster sizes, partitionings, and resume-after-failure
+  (no RNG state to checkpoint, unlike ``df.sample``).
+- **Shuffle-free**: a broadcast join of the (tiny) per-stratum rate table
+  plus a filter; the corpus never moves.
+- **Engine-portable**: DuckDB reproduces the exact row set with
+  ``('0x' || substr(md5(key), 1, 15))::BIGINT % D`` — the gate oracle
+  verifies the selected id-sum per stratum, not just counts.
+- **Nested-safe**: samples at rate r1 then r2 < r1 compose (the keep set
+  at a lower threshold is a subset), enabling monotone down-sampling of a
+  mixture without re-reading discarded strata.
+
+The reference ships no sampler; this serves the BASELINE.json north-star
+training-pipeline role (deterministic mixture weights over tokenized
+sequences). ``seeded sample`` for *row inspection* remains
+``operators.stats.sample_rows``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import portable_word_hash
+
+SAMPLE_DENOM = 1_000_000
+
+
+def sample_hash(key_col) -> "F.Column":
+    """Uniform-in-[0, SAMPLE_DENOM) deterministic hash of a key column."""
+    return F.pmod(
+        portable_word_hash(F.col(key_col).cast("string")),
+        F.lit(SAMPLE_DENOM),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    spark=None,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value -> keep rate in [0, 1]. Strata absent
+    from the map use ``default_rate``. Thresholds are exact integers
+    (``floor(rate * SAMPLE_DENOM)``) so the float never meets the data.
+    """
+    spark = spark or df.sparkSession
+    thresholds = [
+        (s, int(r * SAMPLE_DENOM)) for s, r in sorted(rates.items())
+    ]
+    rate_df = spark.createDataFrame(
+        thresholds, f"{strata_col} string, _keep_below long"
+    )
+    default_below = int(default_rate * SAMPLE_DENOM)
+    return (
+        df.join(F.broadcast(rate_df), on=strata_col, how="left")
+        .withColumn(
+            "_keep_below",
+            F.coalesce(F.col("_keep_below"), F.lit(default_below)),
+        )
+        .filter(sample_hash(key_col) < F.col("_keep_below"))
+        .drop("_keep_below")
+    )

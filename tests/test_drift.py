@@ -213,3 +213,73 @@ def test_salted_agg_avoids_hot_partition(spark, cur_drifted_df):
     for r in hot:
         per_pid[r["pid"]] = per_pid.get(r["pid"], 0) + r["c"]
     assert max(per_pid.values()) < total * min(1.0, 3.0 / min(k, n_shuffle) + 0.2)
+
+
+# ---------------------------------------------------------------------------
+# token-unigram drift (planted truth)
+# ---------------------------------------------------------------------------
+
+
+def _seq_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_token_drift_self_is_zero(spark):
+    from data_drift_monitoring_spark.operators.drift import token_drift
+
+    df = _seq_df(
+        spark, [("a", [1, 2, 3]), ("b", [2, 3, 4]), ("c", [1, 1, 5])]
+    )
+    row = token_drift(df, df).collect()[0]
+    assert row["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert row["js_divergence"] == pytest.approx(0.0, abs=1e-12)
+    assert row["new_tokens"] == 0
+    assert row["oov_pct"] == pytest.approx(0.0)
+    assert row["psi_drift"] == "none"
+
+
+def test_token_drift_planted_oov_and_psi(spark):
+    """cur introduces two ids ref never saw (3 of 8 occurrences => 37.5%
+    OOV) and shifts mass off id 1 — PSI must classify as drifted and the
+    OOV accounting must be exact."""
+    from data_drift_monitoring_spark.operators.drift import token_drift
+
+    ref = _seq_df(spark, [("r1", [1, 1, 1, 2]), ("r2", [1, 2, 2, 2])])
+    cur = _seq_df(spark, [("c1", [2, 2, 9, 9]), ("c2", [2, 2, 7, 1])])
+    row = token_drift(cur, ref).collect()[0]
+    assert row["n_cur"] == 8 and row["n_ref"] == 8
+    assert row["new_tokens"] == 2  # ids 9 and 7
+    assert row["oov_pct"] == pytest.approx(100.0 * 3 / 8)
+    # closed form: universe {1,2,7,9}; p=(1/8,4/8,1/8,2/8), q=(4/8,4/8,0,0)
+    eps = 1e-6
+    p = [1 / 8, 4 / 8, 1 / 8, 2 / 8]
+    q = [4 / 8, 4 / 8, eps, eps]  # clamped inside the log only
+    qr = [4 / 8, 4 / 8, 0.0, 0.0]
+    psi = sum(
+        (pi - qi) * math.log(max(pi, eps) / max(qi, eps))
+        for pi, qi in zip(p, qr)
+    )
+    assert row["psi"] == pytest.approx(psi, rel=1e-9)
+    assert row["psi_drift"] != "none"
+
+
+def test_token_unigram_histogram_partitioned(spark):
+    from data_drift_monitoring_spark.operators.drift import (
+        token_unigram_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [5, 5, 6]), (1, [5])],
+        "part_id int, tokens array<int>",
+    )
+    got = {
+        (r["part_id"], r["bin"]): r["cnt"]
+        for r in token_unigram_histogram(
+            df, partition_col="part_id"
+        ).collect()
+    }
+    assert got == {
+        (0, "00000005"): 2,
+        (0, "00000006"): 1,
+        (1, "00000005"): 1,
+    }
