@@ -264,8 +264,10 @@ class ValidationService:
         dataset against the stored baseline snapshot, with the README.md:49
         PSI classification. Numeric columns are binned on shared fixed
         edges (combined min/max across both sides); string columns use
-        exact category counts. One drift_stats pass covers all columns."""
-        from .operators.drift import drift_stats
+        exact category counts; integer-array columns (tokenized sequences)
+        use unigram token-id histograms — vocabulary-usage drift. One
+        drift_stats pass covers all columns."""
+        from .operators.drift import drift_stats, token_unigram_histogram
         from .operators.histogram import categorical_counts, numeric_histogram
         from .operators.stats import _is_numeric
 
@@ -283,7 +285,11 @@ class ValidationService:
         ]
         numeric = [c for c in shared if _is_numeric(dc[c]) and _is_numeric(db[c])]
         categorical = [c for c in shared if dc[c] == "string" and db[c] == "string"]
-        if not numeric and not categorical:
+        _tok_types = ("array<smallint>", "array<int>", "array<bigint>")
+        token_cols = [
+            c for c in shared if dc[c] in _tok_types and db[c] == dc[c]
+        ]
+        if not numeric and not categorical and not token_cols:
             return {"baseline_version": version, "columns": {},
                     "summary": {"n_columns": 0, "n_drifted": 0,
                                 "overall_drift": False}}
@@ -310,7 +316,7 @@ class ValidationService:
                 lo, hi = min(los), max(his)
                 bounds[c] = (float(lo), float(hi) if hi > lo else float(lo) + 1.0)
             numeric = [c for c in numeric if c in bounds]
-        if not numeric and not categorical:
+        if not numeric and not categorical and not token_cols:
             return {
                 "baseline_version": version,
                 "columns": {c: {"drift_detected": False,
@@ -332,6 +338,10 @@ class ValidationService:
                     src, c, partition_col=None, salted=False
                 ).select("col", "bin", "cnt")
                 for c in categorical
+            ] + [
+                token_unigram_histogram(src, c, name=c)
+                .select("col", "bin", "cnt")
+                for c in token_cols
             ]
             out = pieces[0]
             for p in pieces[1:]:

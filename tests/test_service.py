@@ -128,6 +128,29 @@ def test_detect_drift_all_null_column_reports_no_data(svc, clean_df, spark):
     assert not rep["summary"]["overall_drift"]
 
 
+def test_detect_drift_token_array_column(svc, spark):
+    """An array<int> column (tokenized sequences) gets unigram
+    vocabulary-usage drift in the same detect_drift pass: a vocabulary
+    shift flags, an identical corpus does not."""
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(i, [1, 2, 3, i % 4]) for i in range(200)],
+        "id int, tokens array<int>",
+    )
+    svc.create_baseline(base)
+    same = svc.detect_drift(base)
+    assert "tokens" in same["columns"]
+    assert not same["columns"]["tokens"]["drift_detected"]
+    shifted = spark.createDataFrame(
+        [(i, [90, 91, 92, i % 4]) for i in range(200)],
+        "id int, tokens array<int>",
+    )
+    rep = svc.detect_drift(shifted)
+    assert rep["columns"]["tokens"]["drift_detected"]
+    assert rep["columns"]["tokens"]["psi_drift"] == "large"
+
+
 def test_remediate_from_quality_report(svc, spark):
     """remediation route parity: dirty dataset → check_quality report →
     prioritized actions from the rules engine."""
