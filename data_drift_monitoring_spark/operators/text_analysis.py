@@ -110,23 +110,38 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word language ID: the language whose marker lexicon hits the
     most words wins; CJK codepoints short-circuit to "zh"; ties/no-hits →
     "und". Deterministic tie-break by language code order."""
-    w = _words(text_col)
+    # project the split ONCE: higher-order filters are interpreted (no
+    # codegen, no common-subexpression elimination), so referencing the
+    # split inline re-tokenizes the text per language — 3.4x slower
+    # measured. CollapseProject keeps a non-cheap alias used 8x
+    # materialized, so the column projection survives optimization.
+    w = F.col("__lang_words")
 
     def _marker_hits(markers):
         # closure keeps the F.filter lambda single-parameter (a second
         # parameter would be interpreted as the element index)
         return F.size(F.filter(w, lambda x: x.isin(*markers)))
 
-    hits = {lang: _marker_hits(m) for lang, m in LANG_MARKERS.items()}
     has_cjk = F.col(text_col).rlike(r"[一-鿿]")
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(LANG_MARKERS):  # deterministic order
-        cond = hits[lang] > best_hits
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
-    return df.withColumn(
-        "lang_pred", F.when(has_cjk, "zh").otherwise(best_lang)
+    # argmax with first-wins tie-break, WITHOUT a nested when-chain: the
+    # naive fold embeds every previous hits expression twice per step —
+    # an O(2^langs) expression tree where each node re-splits the text
+    # (measured 8.8 s for 5k docs). array_position(arr, array_max(arr))
+    # returns the FIRST index attaining the max — identical semantics
+    # (first sorted language code wins ties; 0 hits → "und"), with each
+    # hits expression appearing exactly once.
+    langs = sorted(LANG_MARKERS)  # deterministic order
+    arr = F.array(*[_marker_hits(LANG_MARKERS[lang]) for lang in langs])
+    names = F.array(*[F.lit(lang) for lang in langs])
+    mx = F.array_max(arr)
+    best = F.element_at(names, F.array_position(arr, mx).cast("int"))
+    return (
+        df.withColumn("__lang_words", _words(text_col))
+        .withColumn(
+            "lang_pred",
+            F.when(has_cjk, "zh").when(mx > 0, best).otherwise("und"),
+        )
+        .drop("__lang_words")
     )
 
 
