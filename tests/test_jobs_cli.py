@@ -60,3 +60,30 @@ def test_remediate_cli(prepared, tmp_path, spark):
         a["check"] == "missing_values" and a["column"] == "name"
         for a in plan["actions"]
     )
+
+
+def test_sample_corpus_cli(spark, tmp_path):
+    from jobs.sample_corpus import main, parse_rates
+
+    assert parse_rates("a=0.5,b=0.1") == {"a": 0.5, "b": 0.1}
+    with pytest.raises(SystemExit):
+        parse_rates("a=1.5")
+
+    corpus = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    out = str(tmp_path / "sampled")
+    rc = main(["--input", src, "--output", out, "--rates", "a=0.3"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    by = {r.source: r["count"] for r in got.groupBy("source").count().collect()}
+    assert "b" not in by  # default rate 0 drops unlisted strata
+    assert 0 < by["a"] < 500
+    # deterministic: a second run writes the identical row set
+    main(["--input", src, "--output", out + "2", "--rates", "a=0.3"])
+    ids1 = {r.doc_id for r in got.collect()}
+    ids2 = {r.doc_id for r in spark.read.parquet(out + "2").collect()}
+    assert ids1 == ids2
