@@ -24,8 +24,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from data_drift_monitoring_spark.config import DEFAULT_CONFIG
+from data_drift_monitoring_spark.operators import contamination as _contam
 from data_drift_monitoring_spark.operators import dedup as _dedup
 from data_drift_monitoring_spark.operators import drift as _drift
+from data_drift_monitoring_spark.operators import embedding_drift as _edrift
 from data_drift_monitoring_spark.operators import histogram as _hist
 from data_drift_monitoring_spark.operators import outliers as _out
 from data_drift_monitoring_spark.operators import sampling as _sampling
@@ -443,6 +445,108 @@ def q_stratified_sample(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("sum_sampled_ids"),
         )
         .orderBy("source")
+    )
+
+
+def _contamination_split(spark, sf_dir):
+    """Deterministic train/eval split of documents doc_id<300 (the
+    near-dup-bearing region): every 10th doc is 'eval'. 3-word grams
+    matched on the portable md5 hash so the DuckDB oracle reproduces the
+    join bit-exactly."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    return tr, ev
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Train/eval n-gram contamination with source attribution: pairs
+    whose matched distinct 3-grams cover >=10% of the eval doc's grams.
+    The corpus side never shuffles (broadcast eval gram set)."""
+    tr, ev = _contamination_split(spark, sf_dir)
+    out = _contam.contamination_pairs(
+        tr, ev, n=3, min_overlap=0.1, gram_hash=_dedup.portable_word_hash
+    )
+    return out.select(
+        "train_id",
+        "eval_id",
+        "matched_grams",
+        F.col("n_train_grams").cast("long").alias("n_train_grams"),
+        F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
+        F.round("overlap", 6).alias("overlap"),
+    ).orderBy("train_id", "eval_id")
+
+
+def q_contamination_report(spark, sf_dir):
+    """Per-eval-doc decontamination verdict: distinct eval grams found in
+    ANY training doc; contaminated at >=50% coverage. Includes clean eval
+    docs (overlap 0)."""
+    tr, ev = _contamination_split(spark, sf_dir)
+    out = _contam.contamination_report(
+        tr, ev, n=3, min_overlap=0.5, gram_hash=_dedup.portable_word_hash
+    )
+    return out.select(
+        "eval_id",
+        F.col("n_eval_grams").cast("long").alias("n_eval_grams"),
+        "matched_grams",
+        F.round("overlap", 6).alias("overlap"),
+        "contaminated",
+    ).orderBy("eval_id")
+
+
+def _embedding_drift_halves(spark, sf_dir):
+    """cur/ref embedding snapshots from the vec_id parity split, with a
+    planted +0.25 shift on dimension 0 of cur (a real encoder-drift
+    signature the per-dim z-test must flag). Elements cast to double
+    BEFORE any arithmetic so the oracle mirrors bit-exactly."""
+    e = _read(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    shifted = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + F.when(i == 0, F.lit(0.25)).otherwise(F.lit(0.0)),
+    )
+    cur = e.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", shifted.alias("embedding")
+    )
+    ref = e.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", as_double.alias("embedding")
+    )
+    return cur, ref
+
+
+def q_embedding_dim_drift(spark, sf_dir):
+    """Per-dimension embedding drift (two-sample Welch z) between the
+    parity halves with a planted dim-0 shift."""
+    cur, ref = _embedding_drift_halves(spark, sf_dir)
+    out = _edrift.embedding_drift(cur, ref, z_threshold=3.0)
+    return out.select(
+        "dim",
+        "n_cur",
+        "n_ref",
+        F.round("mean_cur", 6).alias("mean_cur"),
+        F.round("mean_ref", 6).alias("mean_ref"),
+        F.round("std_cur", 6).alias("std_cur"),
+        F.round("std_ref", 6).alias("std_ref"),
+        F.round("z_shift", 4).alias("z_shift"),
+        "drifted",
+    ).orderBy("dim")
+
+
+def q_embedding_drift_summary(spark, sf_dir):
+    """Whole-space drift verdict: centroid cosine + drifted-dim count
+    over the same planted-shift halves."""
+    cur, ref = _embedding_drift_halves(spark, sf_dir)
+    s = _edrift.embedding_drift_summary(
+        _edrift.embedding_drift(cur, ref, z_threshold=3.0)
+    )
+    return s.select(
+        "n_dims",
+        F.round("centroid_cosine", 6).alias("centroid_cosine"),
+        F.round("mean_abs_z", 4).alias("mean_abs_z"),
+        F.round("max_abs_z", 4).alias("max_abs_z"),
+        "n_drifted",
+        "verdict",
     )
 
 
@@ -1157,6 +1261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_drift_verdict_sources": q_drift_verdict_sources,
         "q_token_drift": q_token_drift,
         "q_stratified_sample": q_stratified_sample,
+        "q_contamination_pairs": q_contamination_pairs,
+        "q_contamination_report": q_contamination_report,
+        "q_embedding_dim_drift": q_embedding_dim_drift,
+        "q_embedding_drift_summary": q_embedding_drift_summary,
         "q_events_hourly": q_events_hourly,
         "q_corpus_summary": q_corpus_summary,
         "q_token_counts": q_token_counts,
@@ -1399,6 +1507,10 @@ def oracle_sql() -> dict[str, str]:
         "q_drift_verdict_sources": _source_drift_oracle(),
         "q_token_drift": _token_drift_oracle(),
         "q_stratified_sample": _stratified_sample_oracle(),
+        "q_contamination_pairs": _contamination_pairs_oracle(),
+        "q_contamination_report": _contamination_report_oracle(),
+        "q_embedding_dim_drift": _embedding_dim_drift_oracle(),
+        "q_embedding_drift_summary": _embedding_drift_summary_oracle(),
         "q_metric_drift": _metric_drift_oracle(),
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start,
@@ -2055,6 +2167,138 @@ def _verdicts_oracle(
           {union}
         )
         {select}
+    """
+
+
+def _contamination_cte() -> str:
+    """Shared CTE: per-doc DISTINCT 3-gram sets over doc_id<300 hashed
+    with the portable 60-bit md5 hash (mirror of
+    contamination._gram_table + dedup.portable_word_hash), split into
+    train (doc_id%10 != 0) / eval (doc_id%10 == 0) gram tables."""
+    return r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents WHERE doc_id < 300
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([('0x' || substr(md5(array_to_string(list_slice(w, i, i+2), ' ')), 1, 15))::BIGINT
+                                for i in range(1, greatest(len(w)-2, 1)+1)]) AS s
+          FROM d
+        ),
+        tr AS (SELECT doc_id AS train_id, len(s) AS n_train_grams, unnest(s) AS g
+               FROM sh WHERE doc_id % 10 != 0),
+        ev AS (SELECT doc_id AS eval_id, len(s) AS n_eval_grams, unnest(s) AS g
+               FROM sh WHERE doc_id % 10 = 0)
+    """
+
+
+def _contamination_pairs_oracle() -> str:
+    return f"""
+        {_contamination_cte()},
+        m AS (
+          SELECT train_id, eval_id, n_train_grams, n_eval_grams,
+                 COUNT(*) AS i
+          FROM tr JOIN ev USING (g)
+          GROUP BY ALL
+        )
+        SELECT train_id, eval_id,
+               CAST(i AS BIGINT) AS matched_grams,
+               CAST(n_train_grams AS BIGINT) AS n_train_grams,
+               CAST(n_eval_grams AS BIGINT) AS n_eval_grams,
+               ROUND(CAST(i AS DOUBLE) / n_eval_grams, 6) AS overlap
+        FROM m
+        WHERE CAST(i AS DOUBLE) / n_eval_grams >= 0.1
+        ORDER BY train_id, eval_id
+    """
+
+
+def _contamination_report_oracle() -> str:
+    return f"""
+        {_contamination_cte()},
+        sizes AS (
+          SELECT doc_id AS eval_id, len(s) AS n_eval_grams
+          FROM sh WHERE doc_id % 10 = 0
+        ),
+        m AS (
+          SELECT eval_id, COUNT(DISTINCT g) AS mg
+          FROM tr JOIN ev USING (g)
+          GROUP BY eval_id
+        )
+        SELECT s.eval_id,
+               CAST(s.n_eval_grams AS BIGINT) AS n_eval_grams,
+               CAST(COALESCE(m.mg, 0) AS BIGINT) AS matched_grams,
+               ROUND(CAST(COALESCE(m.mg, 0) AS DOUBLE) / s.n_eval_grams, 6) AS overlap,
+               CAST(CAST(COALESCE(m.mg, 0) AS DOUBLE) / s.n_eval_grams >= 0.5 AS INTEGER) AS contaminated
+        FROM sizes s LEFT JOIN m ON s.eval_id = m.eval_id
+        ORDER BY s.eval_id
+    """
+
+
+def _embedding_drift_cte() -> str:
+    """Shared CTE: parity-split embedding snapshots with the planted
+    +0.25 dim-0 shift (mirror of _embedding_drift_halves — elements cast
+    to double BEFORE arithmetic, every element gets +0.0 or +0.25 exactly
+    as the Spark transform does), per-dim Welch z via embedding_drift's
+    expression order."""
+    return """
+        WITH base AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings
+        ),
+        cur AS (
+          SELECT [v[i] + CASE WHEN i = 1 THEN 0.25 ELSE 0.0 END
+                  for i in range(1, len(v)+1)] AS v
+          FROM base WHERE vec_id % 2 = 1
+        ),
+        ref AS (SELECT v FROM base WHERE vec_id % 2 = 0),
+        ce AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val FROM cur),
+        re AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val FROM ref),
+        cs AS (SELECT dim, COUNT(*) AS n_cur, AVG(val) AS mean_cur,
+                      VAR_SAMP(val) AS var_cur, STDDEV_SAMP(val) AS std_cur
+               FROM ce GROUP BY dim),
+        rs AS (SELECT dim, COUNT(*) AS n_ref, AVG(val) AS mean_ref,
+                      VAR_SAMP(val) AS var_ref, STDDEV_SAMP(val) AS std_ref
+               FROM re GROUP BY dim),
+        j AS (SELECT dim, n_cur, n_ref, mean_cur, mean_ref, std_cur, std_ref,
+                     sqrt(var_cur / n_cur + var_ref / n_ref) AS se
+              FROM cs JOIN rs USING (dim)),
+        z AS (SELECT *,
+                     CASE WHEN se > 0 THEN (mean_cur - mean_ref) / se END AS z_shift,
+                     CASE WHEN se > 0
+                          THEN CAST(abs((mean_cur - mean_ref) / se) >= 3.0 AS INTEGER)
+                          ELSE CAST(mean_cur != mean_ref AS INTEGER) END AS drifted
+              FROM j)
+    """
+
+
+def _embedding_dim_drift_oracle() -> str:
+    return f"""
+        {_embedding_drift_cte()}
+        SELECT dim, n_cur, n_ref,
+               ROUND(mean_cur, 6) AS mean_cur,
+               ROUND(mean_ref, 6) AS mean_ref,
+               ROUND(std_cur, 6) AS std_cur,
+               ROUND(std_ref, 6) AS std_ref,
+               ROUND(z_shift, 4) AS z_shift,
+               drifted
+        FROM z ORDER BY dim
+    """
+
+
+def _embedding_drift_summary_oracle() -> str:
+    return f"""
+        {_embedding_drift_cte()}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+               ROUND(SUM(mean_cur * mean_ref)
+                     / (sqrt(SUM(mean_cur * mean_cur)) * sqrt(SUM(mean_ref * mean_ref))),
+                     6) AS centroid_cosine,
+               ROUND(AVG(ABS(z_shift)), 4) AS mean_abs_z,
+               ROUND(MAX(ABS(z_shift)), 4) AS max_abs_z,
+               CAST(SUM(drifted) AS BIGINT) AS n_drifted,
+               CASE WHEN SUM(drifted) > 0 THEN 'drift' ELSE 'none' END AS verdict
+        FROM z
     """
 
 

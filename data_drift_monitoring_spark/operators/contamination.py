@@ -1,0 +1,159 @@
+"""Train/eval n-gram contamination detection.
+
+A core training-data-pipeline check the reference never had (its drift
+modules are 0-byte stubs; this extends the promised quality checks to
+the corpus/benchmark boundary): an evaluation example is *contaminated*
+when enough of its word n-grams also occur in the training corpus
+(the GPT-3 appendix-C style n-gram overlap test).
+
+Scale shape (the part that matters at 100 TB):
+
+- The EVAL side is small (benchmark suites are 10^3-10^6 examples); its
+  distinct gram set is broadcast, so the training corpus is NEVER
+  shuffled — grams are generated per-partition with JVM higher-order
+  functions and matched map-side against the broadcast hash set.
+- The only exchange carries matched ``(train_id, eval_id)`` /
+  ``(eval_id, gram)`` rows with map-side partial aggregation, bounded by
+  |eval grams| per task — independent of corpus size.
+- Gram matching is on 64-bit hashes (xxhash64 by default), never gram
+  strings; pass ``dedup.portable_word_hash`` for a hash an external SQL
+  engine can reproduce bit-exactly (the oracle gate does).
+
+Normalization mirrors ``dedup._shingles`` (lowercase, whitespace
+collapse, k-word windows, one whole-doc gram for docs shorter than k) so
+contamination and near-dup dedup agree on what "the same text" means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _gram_strings(text_col: str, n: int):
+    """Array of k-word gram strings (not yet hashed). Same normalization
+    and windowing as dedup._shingles; all JVM expressions."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "
+    )
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), cnt - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+
+
+def _default_hash(g):
+    return F.xxhash64(g)
+
+
+def _gram_table(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    n: int,
+    gram_hash,
+    side: str,
+) -> DataFrame:
+    """(<side>_id, n_<side>_grams, g): one row per DISTINCT gram per doc.
+
+    ``array_distinct`` runs per-row (narrow), so downstream counts are
+    set-semantics without any distinct shuffle."""
+    grams = F.array_distinct(
+        F.transform(_gram_strings(text_col, n), gram_hash)
+    )
+    return (
+        df.select(
+            F.col(key_col).alias(f"{side}_id"), grams.alias("_gs")
+        )
+        .withColumn(f"n_{side}_grams", F.size("_gs"))
+        .select(f"{side}_id", f"n_{side}_grams", F.explode("_gs").alias("g"))
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: float = 0.5,
+    gram_hash=None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(train_id, eval_id, matched_grams, n_train_grams, n_eval_grams,
+    overlap) for every train/eval pair whose matched-gram share of the
+    EVAL doc's gram set reaches ``min_overlap`` — contamination with
+    source attribution (which training doc leaked which eval example).
+
+    ``overlap`` is measured against the eval doc (matched / n_eval_grams):
+    a short eval example fully embedded in a long training doc counts as
+    fully contaminated.
+    """
+    gram_hash = gram_hash or _default_hash
+    ev = _gram_table(eval_df, text_col, key_col, n, gram_hash, "eval")
+    tr = _gram_table(train, text_col, key_col, n, gram_hash, "train")
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    j = tr.join(ev, on="g")
+    pairs = (
+        j.groupBy("train_id", "eval_id", "n_train_grams", "n_eval_grams")
+        .agg(F.count(F.lit(1)).cast("long").alias("matched_grams"))
+        .withColumn(
+            "overlap",
+            F.col("matched_grams") / F.col("n_eval_grams"),
+        )
+        .filter(F.col("overlap") >= F.lit(min_overlap))
+    )
+    return pairs.select(
+        "train_id",
+        "eval_id",
+        "matched_grams",
+        "n_train_grams",
+        "n_eval_grams",
+        "overlap",
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: float = 0.5,
+    gram_hash=None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-eval-doc verdict: (eval_id, n_eval_grams, matched_grams,
+    overlap, contaminated) where ``matched_grams`` counts DISTINCT eval
+    grams found in ANY training document (the decontamination decision:
+    drop/flag the eval example, whoever leaked it). Eval docs with zero
+    matches are included with overlap 0.
+    """
+    gram_hash = gram_hash or _default_hash
+    ev = _gram_table(eval_df, text_col, key_col, n, gram_hash, "eval")
+    sizes = ev.select("eval_id", "n_eval_grams").distinct()
+    tr = _gram_table(train, text_col, key_col, n, gram_hash, "train").select(
+        "g"
+    )
+    j = tr.join(F.broadcast(ev) if broadcast_eval else ev, on="g")
+    matched = (
+        j.groupBy("eval_id")
+        .agg(F.count_distinct("g").cast("long").alias("matched_grams"))
+    )
+    out = (
+        sizes.join(matched, on="eval_id", how="left")
+        .withColumn(
+            "matched_grams", F.coalesce("matched_grams", F.lit(0))
+        )
+        .withColumn(
+            "overlap", F.col("matched_grams") / F.col("n_eval_grams")
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("overlap") >= F.lit(min_overlap)).cast("int"),
+        )
+    )
+    return out.select(
+        "eval_id", "n_eval_grams", "matched_grams", "overlap", "contaminated"
+    )
