@@ -79,6 +79,8 @@ HEADLINE = [
     "q_embedding_against",
     "q_token_drift",
     "q_stratified_sample",
+    "q_contamination_report",
+    "q_embedding_dim_drift",
 ]
 
 
