@@ -87,3 +87,37 @@ def test_sample_corpus_cli(spark, tmp_path):
     ids1 = {r.doc_id for r in got.collect()}
     ids2 = {r.doc_id for r in spark.read.parquet(out + "2").collect()}
     assert ids1 == ids2
+
+
+def test_check_contamination_cli(spark, tmp_path):
+    from jobs.check_contamination import main
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "an entirely different training document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # leaked
+            (11, "completely novel holdout words nothing shared here"),
+        ],
+        "doc_id long, text string",
+    )
+    tr_p, ev_p = str(tmp_path / "train.pq"), str(tmp_path / "eval.pq")
+    train.write.parquet(tr_p)
+    ev.write.parquet(ev_p)
+    out = str(tmp_path / "report")
+    pairs = str(tmp_path / "pairs")
+    rc = main([
+        "--train", tr_p, "--eval", ev_p, "--output", out,
+        "--pairs", pairs, "--ngram", "3", "--min-overlap", "0.5",
+    ])
+    assert rc == 0
+    rep = {r.eval_id: r for r in spark.read.parquet(out).collect()}
+    assert rep[10]["contaminated"] == 1
+    assert rep[11]["contaminated"] == 0
+    att = spark.read.parquet(pairs).collect()
+    assert len(att) == 1 and att[0]["train_id"] == 1 and att[0]["eval_id"] == 10
