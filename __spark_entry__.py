@@ -2307,7 +2307,7 @@ def _minhash_oracle(
 ) -> str:
     """Exact all-pairs 3-gram Jaccard over doc_id<300 — the ground truth
     the LSH-verified pair list must equal (shingle construction mirrors
-    dedup._shingles: lowercase, whitespace-collapse, k-word windows with
+    dedup._with_shingles: lowercase, whitespace-collapse, k-word windows with
     a single whole-doc shingle for docs shorter than k). ``pair_cond``
     selects the pair universe: the self-join default, or the
     index-side × new-side split for q_dedup_against."""

@@ -172,7 +172,7 @@ DEDUP_VOCAB_SIZE = 50_000
 
 def _trigram_jaccard(a: "np.ndarray", b: "np.ndarray") -> float:
     """Exact word-trigram Jaccard of two word-index sequences — the same
-    shingle definition as ``operators.dedup._shingles`` (k=3 over the
+    shingle definition as ``operators.dedup._with_shingles`` (k=3 over the
     whitespace words), computed in numpy for planted-truth pairs."""
     sa = {tuple(a[i : i + 3]) for i in range(max(len(a) - 2, 1))}
     sb = {tuple(b[i : i + 3]) for i in range(max(len(b) - 2, 1))}

@@ -72,15 +72,28 @@ def dedup_exact_content(
     )
 
 
-def _shingles(text_col: str, k: int):
-    """k-word shingle hash array: split → slide window → xxhash64. All JVM
-    higher-order functions; no Python in the row path."""
+def _with_shingles(
+    df: DataFrame, text_col: str, k: int, out_col: str = "_sh"
+) -> DataFrame:
+    """Add ``out_col``: k-word shingle hash array (split → slide window →
+    xxhash64). All JVM higher-order functions; no Python in the row path.
+
+    The words array is projected as a REAL column before the window
+    transform: HOF lambdas are interpreted with no common-subexpression
+    elimination, so an inline split() referenced from the lambda body is
+    re-evaluated PER WINDOW — O(words²) per doc, measured 8.8× slower at
+    k=8 on a 50k-doc corpus. CollapseProject keeps the projection because
+    the alias is non-cheap and referenced twice (size + slice)."""
     words = F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " ")
-    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), n - 1)
-    return F.transform(
-        idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+    n = F.greatest(F.size(F.col("_words")) - F.lit(k - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_words"), i + 1, k))),
+    )
+    return (
+        df.withColumn("_words", words)
+        .withColumn(out_col, sh)
+        .drop("_words")
     )
 
 
@@ -122,60 +135,12 @@ def minhash_signatures(
     ub = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
         np.uint64
     )
-    k = shingle_k
-    # distinct odd multipliers decorrelate the positions in the shingle mix
-    mix = np.array(
-        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9][:k],
-        dtype=np.uint64,
-    )
+    mix = _mix_constants(shingle_k)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
-        import pandas.util as pdu
-
         n = len(texts)
-        words = (
-            texts.fillna("")
-            .str.lower()
-            .str.replace(r"\s+", " ", regex=True)
-            .str.strip()
-            .str.split(" ")
-        )
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        flat = np.array(
-            [w for ws in words for w in ws], dtype=object
-        )
-        hw = pdu.hash_array(flat).astype(np.uint64)
-        doc = np.repeat(np.arange(n, dtype=np.int64), lens)
-        with np.errstate(over="ignore"):
-            if len(hw) >= k:
-                sh = hw[: len(hw) - k + 1] * mix[0]
-                for j in range(1, k):
-                    sh = sh ^ (hw[j : len(hw) - k + 1 + j] * mix[j])
-                valid = doc[: len(hw) - k + 1] == doc[k - 1 :]
-            else:
-                sh = np.empty(0, dtype=np.uint64)
-                valid = np.empty(0, dtype=bool)
-        sh = sh[valid]
-        sdoc = doc[: len(doc) - k + 1][valid] if len(doc) >= k else doc[:0]
-        # docs shorter than k words get ONE shingle over all their words
-        # (mirror of slice() clamping in the expr variant's semantics)
-        short = np.nonzero((lens < k) & (lens > 0))[0]
-        if len(short):
-            extra = []
-            starts_w = np.zeros(n, dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts_w[1:])
-            with np.errstate(over="ignore"):
-                for i in short:
-                    hws = hw[starts_w[i] : starts_w[i] + lens[i]]
-                    v = np.uint64(0)
-                    for j, x in enumerate(hws):
-                        v = v ^ (x * mix[j % k])
-                    extra.append(v)
-            sh = np.concatenate([sh, np.array(extra, dtype=np.uint64)])
-            sdoc = np.concatenate([sdoc, short.astype(np.int64)])
-            order = np.argsort(sdoc, kind="stable")
-            sh, sdoc = sh[order], sdoc[order]
+        sh, sdoc = _doc_shingle_hashes(texts, shingle_k, mix)
         hm = sh % np.uint64(_MERSENNE)
         counts = np.bincount(sdoc, minlength=n)
         starts = np.zeros(n, dtype=np.int64)
@@ -194,6 +159,77 @@ def minhash_signatures(
     return df.withColumn("minhash", _mh(F.col(text_col)))
 
 
+def _mix_constants(k: int) -> "np.ndarray":
+    """k distinct odd uint64 multipliers decorrelating shingle positions.
+    The first three are the historical xxhash-prime constants (keeps the
+    k<=3 hash family — and thus every existing signature/benchmark —
+    unchanged); further positions are odd golden-gamma multiples."""
+    base = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9]
+    mix = np.array(base[: min(k, 3)], dtype=np.uint64)
+    if k > 3:
+        with np.errstate(over="ignore"):
+            extra = np.uint64(0x9E3779B97F4A7C15) * (
+                np.uint64(2) * np.arange(3, k, dtype=np.uint64)
+                + np.uint64(3)
+            )
+        mix = np.concatenate([mix, extra | np.uint64(1)])
+    return mix
+
+
+def _doc_shingle_hashes(
+    texts: "pd.Series", k: int, mix: "np.ndarray"
+) -> tuple:
+    """Vectorized per-doc k-word shingle hashes for Arrow UDFs: tokenize
+    with pandas' C string ops, hash every word once (pandas.util
+    .hash_array, cython siphash, deterministic), combine word hashes into
+    shingle hashes with flat uint64 slicing (no per-doc loop). Docs
+    shorter than k words get ONE shingle over all their words (mirror of
+    slice() clamping in the expression variants). Returns (sh uint64
+    shingle hashes, sdoc int64 doc index per shingle) sorted by doc."""
+    import pandas.util as pdu
+
+    n = len(texts)
+    words = (
+        texts.fillna("")
+        .str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.split(" ")
+    )
+    lens = words.str.len().to_numpy(dtype=np.int64)
+    flat = np.array([w for ws in words for w in ws], dtype=object)
+    hw = pdu.hash_array(flat).astype(np.uint64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    with np.errstate(over="ignore"):
+        if len(hw) >= k:
+            sh = hw[: len(hw) - k + 1] * mix[0]
+            for j in range(1, k):
+                sh = sh ^ (hw[j : len(hw) - k + 1 + j] * mix[j])
+            valid = doc[: len(hw) - k + 1] == doc[k - 1 :]
+        else:
+            sh = np.empty(0, dtype=np.uint64)
+            valid = np.empty(0, dtype=bool)
+    sh = sh[valid]
+    sdoc = doc[: len(doc) - k + 1][valid] if len(doc) >= k else doc[:0]
+    short = np.nonzero((lens < k) & (lens > 0))[0]
+    if len(short):
+        extra = []
+        starts_w = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts_w[1:])
+        with np.errstate(over="ignore"):
+            for i in short:
+                hws = hw[starts_w[i] : starts_w[i] + lens[i]]
+                v = np.uint64(0)
+                for j, x in enumerate(hws):
+                    v = v ^ (x * mix[j % k])
+                extra.append(v)
+        sh = np.concatenate([sh, np.array(extra, dtype=np.uint64)])
+        sdoc = np.concatenate([sdoc, short.astype(np.int64)])
+        order = np.argsort(sdoc, kind="stable")
+        sh, sdoc = sh[order], sdoc[order]
+    return sh, sdoc
+
+
 def _minhash_signatures_expr(
     df: DataFrame,
     text_col: str,
@@ -206,8 +242,7 @@ def _minhash_signatures_expr(
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    sh = _shingles(text_col, shingle_k)
-    df = df.withColumn("_sh", sh)
+    df = _with_shingles(df, text_col, shingle_k, "_sh")
 
     def _uhash(ai: int, bi: int):
         # one-arg closure: F.transform must NOT see a second (index) param.
@@ -561,9 +596,9 @@ def ngram_jaccard(
     needed = df.join(
         keys, on=df[key_col] == keys["_k"], how="left_semi"
     )
-    sh = needed.select(
+    sh = _with_shingles(needed, text_col, shingle_k, "_sh").select(
         F.col(key_col).alias("k"),
-        F.array_distinct(_shingles(text_col, shingle_k)).alias("sh"),
+        F.array_distinct(F.col("_sh")).alias("sh"),
     )
     a = sh.select(F.col("k").alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("k").alias("b"), F.col("sh").alias("sh_b"))

@@ -43,6 +43,11 @@ def main() -> None:
         "--cpus", type=int,
         default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)),
     )
+    ap.add_argument(
+        "--stride", type=int, default=STRIDE,
+        help="every --stride'th doc becomes a leak source (raise for "
+             "bigger corpora to keep the eval set bounded)",
+    )
     args = ap.parse_args()
 
     from data_drift_monitoring_spark.generator import generate_dedup_corpus
@@ -83,7 +88,7 @@ def main() -> None:
 
     # --- deterministic eval set from strided corpus docs ------------------
     src = (
-        docs.filter(F.col("doc_id") % STRIDE == 0)
+        docs.filter(F.col("doc_id") % args.stride == 0)
         .select("doc_id", "text")
         .toPandas()
         .sort_values("doc_id")
