@@ -121,3 +121,37 @@ def test_check_contamination_cli(spark, tmp_path):
     assert rep[11]["contaminated"] == 0
     att = spark.read.parquet(pairs).collect()
     assert len(att) == 1 and att[0]["train_id"] == 1 and att[0]["eval_id"] == 10
+
+
+def test_dedup_corpus_cli(spark, tmp_path):
+    from jobs.dedup_corpus import main
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight looking happy")
+    rows = [
+        (1, base),
+        (2, base + " extra"),                       # near-dup of 1
+        (3, base.replace("quick", "swift")),        # near-dup of 1 and 2
+        (4, "an entirely different document about catalyst query plans "
+            "and adaptive execution with broadcast joins in spark"),
+        (5, "yet another unrelated text mentioning parquet row groups "
+            "column pruning and predicate pushdown statistics"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "corpus.pq")
+    corpus.write.parquet(src)
+    pairs = str(tmp_path / "pairs")
+    clusters = str(tmp_path / "clusters")
+    deduped = str(tmp_path / "deduped")
+    rc = main([
+        "--input", src, "--pairs", pairs, "--clusters", clusters,
+        "--deduped", deduped, "--threshold", "0.5",
+        "--num-hashes", "64", "--bands", "32",
+    ])
+    assert rc == 0
+    got_pairs = {(r.a, r.b) for r in spark.read.parquet(pairs).collect()}
+    assert got_pairs == {(1, 2), (1, 3), (2, 3)}
+    cl = {r.k: r.cluster for r in spark.read.parquet(clusters).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1}
+    kept = sorted(r.doc_id for r in spark.read.parquet(deduped).collect())
+    assert kept == [1, 4, 5]  # min key per cluster + untouched singles
