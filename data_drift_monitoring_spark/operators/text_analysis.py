@@ -137,9 +137,14 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             # neither the ranges nor the map) and real corpora.
             F.length(t) - F.length(F.translate(t, _ASCII_PUNCT, "")),
         )
+        # stage the word count too: referenced by mean_word_len,
+        # stopword_frac AND quality_score, each of which would otherwise
+        # embed its own split-and-size of __q_norm (6 array
+        # materializations per row in the optimized plan)
+        .withColumn("__q_nw", F.size(F.split("__q_norm", " ")))
     )
     chars = F.col("__q_chars")
-    n_words = F.size(F.split("__q_norm", " "))
+    n_words = F.col("__q_nw")
     mean_wl = chars / F.greatest(n_words, F.lit(1))
     stop_frac = F.col("__q_stop_hits") / F.greatest(n_words, F.lit(1))
     punct_ratio = F.col("__q_punct") / F.greatest(chars, F.lit(1))
@@ -158,7 +163,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("stopword_frac", F.round(stop_frac, 4))
         .withColumn("punct_ratio", F.round(punct_ratio, 4))
         .withColumn("quality_score", F.round(score, 4))
-        .drop("__q_norm", "__q_chars", "__q_stop_hits", "__q_punct")
+        .drop("__q_norm", "__q_chars", "__q_stop_hits", "__q_punct",
+              "__q_nw")
     )
 
 
@@ -206,18 +212,30 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     plus a 64-bit rolling-window content key (first/last 64 normalized chars
     + length) that survives mid-document edits poorly but catches
     boilerplate-wrapped copies cheaply."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    # stage the normalized string once: fingerprint + rough_key reference
+    # it 5x, and when this op lands in the same projection as an
+    # interpreted-HOF column (e.g. after with_lang_id) there is neither
+    # codegen nor subexpression elimination to deduplicate the regex
+    norm = F.col("__fp_norm")
     tail_pos = F.greatest(F.length(norm) - F.lit(63), F.lit(1))
-    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
-        "rough_key",
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.substring(norm, 1, 64),
-                F.substring(norm, tail_pos, F.lit(64)),
-                F.length(norm).cast("string"),
-            )
-        ),
+    return (
+        df.withColumn(
+            "__fp_norm",
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        )
+        .withColumn("fingerprint", F.md5(norm))
+        .withColumn(
+            "rough_key",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.substring(norm, 1, 64),
+                    F.substring(norm, tail_pos, F.lit(64)),
+                    F.length(norm).cast("string"),
+                )
+            ),
+        )
+        .drop("__fp_norm")
     )
 
 
