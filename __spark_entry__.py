@@ -718,6 +718,51 @@ def q_lang_id_accuracy(spark, sf_dir):
     )
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Per-doc Gopher-style repetition signals (dup word / bigram /
+    trigram fractions, top-word fraction). Pure per-row expressions —
+    one scan, zero shuffle; every value is an exact integer ratio so the
+    hash compare is float-order-free."""
+    from data_drift_monitoring_spark.operators.repetition import (
+        repetition_flags,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    out = repetition_flags(d)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "top_word_frac",
+        "repetition_keep",
+    ).orderBy("doc_id")
+
+
+def q_repetition_summary(spark, sf_dir):
+    """Per-source repetition corpus health. Integer outputs only (doc /
+    flag / keep counts) — the means the operator also computes are
+    order-sensitive float sums, checked in tests instead of hashed
+    cross-engine."""
+    from data_drift_monitoring_spark.operators.repetition import (
+        repetition_summary,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    s = repetition_summary(d)
+    return s.select(
+        "source",
+        "n_docs",
+        "n_flag_dup_word_frac",
+        "n_flag_dup_bigram_frac",
+        "n_flag_dup_trigram_frac",
+        "n_flag_top_word_frac",
+        "n_keep",
+    ).orderBy("source")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -1271,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": q_quality_scores,
         "q_lang_id": q_lang_id,
         "q_lang_id_accuracy": q_lang_id_accuracy,
+        "q_repetition_scores": q_repetition_scores,
+        "q_repetition_summary": q_repetition_summary,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_json_roundtrip": q_json_roundtrip,
         "q_exact_dedup": q_exact_dedup,
@@ -1585,6 +1632,89 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_lang_id": _lang_id_oracle(),
         "q_lang_id_accuracy": _lang_id_accuracy_oracle(),
+        "q_repetition_scores": f"""
+            WITH w AS (
+              SELECT doc_id, source, {_WORDS} AS ws FROM documents
+            ),
+            u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tc AS (
+              SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+                SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            sig AS (
+              SELECT w.doc_id, w.source,
+                CAST(len(ws) AS INT) AS n_words,
+                CASE WHEN len(ws) > 0 THEN
+                  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS dup_word_frac,
+                CASE WHEN len(ws) >= 2 THEN
+                  1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+                  / (len(ws) - 1)
+                ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(ws) >= 3 THEN
+                  1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                  ))) AS DOUBLE) / (len(ws) - 2)
+                ELSE 0.0 END AS dup_trigram_frac,
+                CASE WHEN len(ws) > 0 THEN
+                  CAST(tc.top_cnt AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS top_word_frac
+              FROM w JOIN tc ON w.doc_id = tc.doc_id
+            )
+            SELECT doc_id, source, n_words, dup_word_frac,
+                   dup_bigram_frac, dup_trigram_frac, top_word_frac,
+                   (dup_word_frac <= 0.50 AND dup_bigram_frac <= 0.60
+                    AND dup_trigram_frac <= 0.50
+                    AND top_word_frac <= 0.30) AS repetition_keep
+            FROM sig ORDER BY doc_id
+        """,
+        "q_repetition_summary": f"""
+            WITH w AS (
+              SELECT doc_id, source, {_WORDS} AS ws FROM documents
+            ),
+            u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            tc AS (
+              SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+                SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY 1, 2
+              ) GROUP BY 1
+            ),
+            sig AS (
+              SELECT w.doc_id, w.source,
+                CASE WHEN len(ws) > 0 THEN
+                  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS dup_word_frac,
+                CASE WHEN len(ws) >= 2 THEN
+                  1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+                  / (len(ws) - 1)
+                ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(ws) >= 3 THEN
+                  1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(ws) - 2),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                  ))) AS DOUBLE) / (len(ws) - 2)
+                ELSE 0.0 END AS dup_trigram_frac,
+                CASE WHEN len(ws) > 0 THEN
+                  CAST(tc.top_cnt AS DOUBLE) / len(ws)
+                ELSE 0.0 END AS top_word_frac
+              FROM w JOIN tc ON w.doc_id = tc.doc_id
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN dup_word_frac > 0.50 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_word_frac,
+                   CAST(SUM(CASE WHEN dup_bigram_frac > 0.60 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_bigram_frac,
+                   CAST(SUM(CASE WHEN dup_trigram_frac > 0.50 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_trigram_frac,
+                   CAST(SUM(CASE WHEN top_word_frac > 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_word_frac,
+                   CAST(SUM(CASE WHEN dup_word_frac <= 0.50 AND dup_bigram_frac <= 0.60
+                                  AND dup_trigram_frac <= 0.50 AND top_word_frac <= 0.30
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+            FROM sig GROUP BY source ORDER BY source
+        """,
         "q_csv_roundtrip": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
