@@ -763,6 +763,53 @@ def q_repetition_summary(spark, sf_dir):
     ).orderBy("source")
 
 
+def _packing_input(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(norm, " ")).cast("int").alias("n_tok"),
+    )
+
+
+def q_pack_windows(spark, sf_dir):
+    """GPT-style packing layout per document at context_len=256,
+    deliberately through the DISTRIBUTED two-level prefix-sum path
+    (prefix_buckets=8) so the scale path itself — not just the plain
+    window — is what the oracle checks. All-integer output."""
+    from data_drift_monitoring_spark.operators.packing import (
+        pack_windows,
+    )
+
+    packed = pack_windows(
+        _packing_input(spark, sf_dir), 256, prefix_buckets=8
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "start_tok",
+        "first_window",
+        "last_window",
+        "n_windows",
+    ).orderBy("doc_id")
+
+
+def q_pack_window_stats(spark, sf_dir):
+    """Per (stream, window) occupancy: docs touching, docs starting,
+    tokens filled. The oracle recomputes the explode from the window
+    cumsum in SQL; the every-window-but-last-is-full invariant is
+    thereby value-checked."""
+    from data_drift_monitoring_spark.operators.packing import (
+        pack_windows,
+        window_stats,
+    )
+
+    packed = pack_windows(_packing_input(spark, sf_dir), 256)
+    return window_stats(packed, 256).orderBy("source", "window_id")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -1318,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id_accuracy": q_lang_id_accuracy,
         "q_repetition_scores": q_repetition_scores,
         "q_repetition_summary": q_repetition_summary,
+        "q_pack_windows": q_pack_windows,
+        "q_pack_window_stats": q_pack_window_stats,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_json_roundtrip": q_json_roundtrip,
         "q_exact_dedup": q_exact_dedup,
@@ -1714,6 +1763,67 @@ def oracle_sql() -> dict[str, str]:
                                   AND dup_trigram_frac <= 0.50 AND top_word_frac <= 0.30
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
             FROM sig GROUP BY source ORDER BY source
+        """,
+        "q_pack_windows": f"""
+            WITH seq AS (
+              SELECT doc_id, source,
+                     CAST(len({_WORDS}) AS INT) AS n_tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS end_tok
+              FROM seq
+            )
+            SELECT doc_id, source, n_tok,
+                   end_tok - n_tok AS start_tok,
+                   (end_tok - n_tok) // 256 AS first_window,
+                   CASE WHEN n_tok > 0 THEN (end_tok - 1) // 256
+                        ELSE (end_tok - n_tok) // 256 END AS last_window,
+                   CASE WHEN n_tok > 0 THEN (end_tok - 1) // 256
+                        ELSE (end_tok - n_tok) // 256 END
+                   - (end_tok - n_tok) // 256 + 1 AS n_windows
+            FROM c ORDER BY doc_id
+        """,
+        "q_pack_window_stats": f"""
+            WITH seq AS (
+              SELECT doc_id, source,
+                     CAST(len({_WORDS}) AS INT) AS n_tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tok,
+                     CAST(SUM(CAST(n_tok AS BIGINT)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS end_tok
+              FROM seq
+            ),
+            d AS (
+              SELECT source, end_tok - n_tok AS start_tok, end_tok,
+                     (end_tok - n_tok) // 256 AS first_window,
+                     (end_tok - 1) // 256 AS last_window
+              FROM c WHERE n_tok > 0
+            ),
+            e AS (
+              SELECT source, start_tok, end_tok,
+                     unnest(generate_series(first_window, last_window))
+                       AS window_id
+              FROM d
+            )
+            SELECT source, window_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN start_tok >= window_id * 256
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_starting_docs,
+                   CAST(SUM(LEAST(end_tok, (window_id + 1) * 256)
+                            - GREATEST(start_tok, window_id * 256))
+                        AS BIGINT) AS tokens_filled
+            FROM e GROUP BY source, window_id
+            ORDER BY source, window_id
         """,
         "q_csv_roundtrip": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
