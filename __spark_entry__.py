@@ -810,6 +810,58 @@ def q_pack_window_stats(spark, sf_dir):
     return window_stats(packed, 256).orderBy("source", "window_id")
 
 
+def q_pii_scan(spark, sf_dir):
+    """PII scan + redaction parity. The corpus is word soup with no real
+    PII, so the query PLANTS deterministic emails / IPv4s / phones by
+    doc_id residue — the identical CASE/concat construction runs in the
+    oracle — then counts per class per source and value-checks the
+    redacted text via its total length. Any dialect divergence between
+    Spark's Java regex and DuckDB's RE2 on the shared patterns breaks
+    the hash."""
+    from data_drift_monitoring_spark.operators.pii import (
+        pii_summary,
+        redact_pii,
+        with_pii_counts,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" call 555-867-5309")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    summary = pii_summary(planted, "text2")
+    red_len = (
+        with_pii_counts(redact_pii(planted, "text2"), "text2_redacted")
+        .groupBy("source")
+        .agg(
+            F.sum(F.length("text2_redacted")).alias("sum_redacted_len"),
+            F.sum("pii_total").alias("residual_hits"),
+        )
+    )
+    return summary.join(red_len, on="source").orderBy("source")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -1367,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_summary": q_repetition_summary,
         "q_pack_windows": q_pack_windows,
         "q_pack_window_stats": q_pack_window_stats,
+        "q_pii_scan": q_pii_scan,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_json_roundtrip": q_json_roundtrip,
         "q_exact_dedup": q_exact_dedup,
@@ -1825,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY source, window_id
             ORDER BY source, window_id
         """,
+        "q_pii_scan": _pii_scan_oracle(),
         "q_csv_roundtrip": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2795,6 +2849,57 @@ def _lang_pred_cte() -> str:
                  END AS lang_pred
           FROM d
         )
+    """
+
+
+def _pii_scan_oracle() -> str:
+    """SQL mirror of q_pii_scan: identical planted-PII construction,
+    the IDENTICAL regex patterns (shared common Java-regex/RE2 subset),
+    sequential redaction in the same class order."""
+    from data_drift_monitoring_spark.operators.pii import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    counts = ",\n                ".join(
+        f"len(regexp_extract_all(text2, '{p}')) AS c_{n}"
+        for n, p in pats.items()
+    )
+    red = "text2"
+    for n, p in pats.items():
+        red = f"regexp_replace({red}, '{p}', '[{n.upper()}]', 'g')"
+    residual = " + ".join(
+        f"len(regexp_extract_all(__red, '{p}'))" for p in pats.values()
+    )
+    any_hit = " + ".join(f"c_{n}" for n in pats)
+    totals = ",\n                   ".join(
+        f"CAST(SUM(c_{n}) AS BIGINT) AS total_{n}" for n in pats
+    )
+    return f"""
+        WITH p AS (
+          SELECT doc_id, source, text ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com' ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.1' ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-867-5309' ELSE '' END AS text2
+          FROM documents
+        ),
+        c AS (
+          SELECT source,
+                {counts},
+                {red} AS __red
+          FROM p
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_pii,
+               {totals},
+               CAST(SUM(length(__red)) AS BIGINT) AS sum_redacted_len,
+               CAST(SUM({residual}) AS BIGINT) AS residual_hits
+        FROM c GROUP BY source ORDER BY source
     """
 
 
