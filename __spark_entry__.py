@@ -862,6 +862,26 @@ def q_pii_scan(spark, sf_dir):
     return summary.join(red_len, on="source").orderBy("source")
 
 
+def q_mixture_rebalance(spark, sf_dir):
+    """Domain-mixture rebalancing: target share for src<i> ∝ i+1, the
+    feasible-maximal exact-mixture subset selected with the
+    deterministic sampling hash. The oracle recomputes the rate
+    derivation (counts → T = min(n_s/share_s) → per-stratum thresholds)
+    and the hash selection entirely in SQL — the EXACT kept row set is
+    pinned by per-source id sums."""
+    d = _read(spark, sf_dir, "documents")
+    target = {f"src{i}": (i + 1) / 210 for i in range(20)}
+    kept = _sampling.rebalance_to_mixture(d, target)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -1420,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_windows": q_pack_windows,
         "q_pack_window_stats": q_pack_window_stats,
         "q_pii_scan": q_pii_scan,
+        "q_mixture_rebalance": q_mixture_rebalance,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_json_roundtrip": q_json_roundtrip,
         "q_exact_dedup": q_exact_dedup,
@@ -1879,6 +1900,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, window_id
         """,
         "q_pii_scan": _pii_scan_oracle(),
+        "q_mixture_rebalance": """
+            WITH n AS (
+              SELECT source, COUNT(*) AS n_rows
+              FROM documents GROUP BY source
+            ),
+            t AS (
+              SELECT source, n_rows,
+                     (CAST(substr(source, 4) AS INT) + 1) / 210.0
+                       AS share
+              FROM n
+            ),
+            m AS (SELECT MIN(n_rows / share) AS t_max FROM t),
+            r AS (
+              SELECT source,
+                     CAST(floor(share * (SELECT t_max FROM m) / n_rows
+                                * 1000000) AS BIGINT) AS keep_below
+              FROM t
+            ),
+            s AS (
+              SELECT d.source, d.doc_id,
+                     ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1,
+                                     15))::BIGINT % 1000000 AS h,
+                     r.keep_below
+              FROM documents d JOIN r ON d.source = r.source
+            )
+            SELECT source, COUNT(*) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_kept_ids
+            FROM s WHERE h < keep_below
+            GROUP BY source ORDER BY source
+        """,
         "q_csv_roundtrip": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

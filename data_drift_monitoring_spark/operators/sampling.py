@@ -32,6 +32,67 @@ from .dedup import portable_word_hash
 SAMPLE_DENOM = 1_000_000
 
 
+def mixture_rates(
+    df: DataFrame,
+    target: dict[str, float],
+    strata_col: str = "source",
+    budget_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates that rebalance the corpus to a target
+    mixture (domain weighting, the DoReMi/Pile-style source mix).
+
+    ``target`` maps stratum -> desired share of the OUTPUT (shares
+    should sum to ~1). The feasible output size is maximized subject to
+    rate ≤ 1 everywhere: T = min_s(n_s / share_s), rate_s = share_s * T
+    / n_s — the largest subset with exactly the requested mixture (in
+    expectation under hash sampling). ``budget_rows`` caps T.
+
+    One map-side-combined count aggregation (the exchange carries
+    |strata| rows); the rate table is driver-side by definition of the
+    problem (|strata| entries). Composes with
+    :func:`stratified_sample`'s deterministic hash so reruns and
+    resumes keep identical rows. Raises if a targeted stratum is absent
+    (the mixture is infeasible, not silently empty)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [
+        s for s, share in target.items() if share > 0 and not counts.get(s)
+    ]
+    if missing:
+        raise ValueError(
+            f"mixture infeasible: strata {missing} absent from data"
+        )
+    t_max = min(
+        counts[s] / share for s, share in target.items() if share > 0
+    )
+    if budget_rows is not None:
+        t_max = min(t_max, float(budget_rows))
+    return {
+        s: (share * t_max / counts[s] if share > 0 else 0.0)
+        for s, share in target.items()
+    }
+
+
+def rebalance_to_mixture(
+    df: DataFrame,
+    target: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    budget_rows: int | None = None,
+) -> DataFrame:
+    """Deterministically sample the corpus down to the target mixture:
+    :func:`mixture_rates` → :func:`stratified_sample`. Strata not in
+    ``target`` are dropped (default_rate=0)."""
+    rates = mixture_rates(df, target, strata_col, budget_rows)
+    return stratified_sample(
+        df, rates, strata_col=strata_col, key_col=key_col, default_rate=0.0
+    )
+
+
 def sample_hash(key_col) -> "F.Column":
     """Uniform-in-[0, SAMPLE_DENOM) deterministic hash of a key column."""
     return F.pmod(

@@ -69,3 +69,54 @@ def test_hash_uniformity_and_plan(spark, corpus):
     assert "BroadcastHashJoin" in plan
     # the only exchange feeding the join is the broadcast of the rate table
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_mixture_rates_math(spark, corpus):
+    from data_drift_monitoring_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    n_a = corpus.filter("source = 'a'").count()
+    n_b = corpus.filter("source = 'b'").count()
+    # target 50/50 from a 2:1 corpus: the scarce stratum (b) pins T
+    rates = mixture_rates(corpus, {"a": 0.5, "b": 0.5})
+    t_max = min(n_a / 0.5, n_b / 0.5)
+    assert rates["b"] == pytest.approx(0.5 * t_max / n_b)  # == 1.0
+    assert rates["a"] == pytest.approx(0.5 * t_max / n_a)
+    assert rates["b"] == pytest.approx(1.0)
+    # budget cap scales every rate down proportionally
+    capped = mixture_rates(corpus, {"a": 0.5, "b": 0.5}, budget_rows=100)
+    assert capped["a"] == pytest.approx(50 / n_a)
+    assert capped["b"] == pytest.approx(50 / n_b)
+
+
+def test_mixture_infeasible_raises(spark, corpus):
+    from data_drift_monitoring_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    with pytest.raises(ValueError, match="infeasible"):
+        mixture_rates(corpus, {"a": 0.5, "missing": 0.5})
+
+
+def test_rebalance_mixture_and_determinism(spark, corpus):
+    from data_drift_monitoring_spark.operators.sampling import (
+        rebalance_to_mixture,
+    )
+
+    kept = rebalance_to_mixture(corpus, {"a": 0.5, "b": 0.5})
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # expected-mixture within hash-sampling noise
+    assert by["a"] == pytest.approx(by["b"], rel=0.15)
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in rebalance_to_mixture(corpus, {"a": 0.5, "b": 0.5}).collect()
+    )
+    assert ids1 == ids2
+    # untargeted strata are dropped
+    only_a = rebalance_to_mixture(corpus, {"a": 1.0})
+    assert only_a.filter("source = 'b'").count() == 0
