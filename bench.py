@@ -81,6 +81,10 @@ HEADLINE = [
     "q_stratified_sample",
     "q_contamination_report",
     "q_embedding_dim_drift",
+    "q_repetition_scores",
+    "q_pack_windows",
+    "q_pii_scan",
+    "q_mixture_rebalance",
 ]
 
 

@@ -56,10 +56,13 @@ def docs_df(spark):
     )
 
 
-def test_signals_match_python_mirror(docs_df):
+@pytest.mark.parametrize("use_arrow", [True, False])
+def test_signals_match_python_mirror(docs_df, use_arrow):
     got = {
         r["doc_id"]: r.asDict()
-        for r in with_repetition_signals(docs_df).collect()
+        for r in with_repetition_signals(
+            docs_df, use_arrow=use_arrow
+        ).collect()
     }
     for doc_id, text, _ in DOCS:
         exp = _mirror(text)
@@ -68,6 +71,31 @@ def test_signals_match_python_mirror(docs_df):
                 doc_id,
                 k,
             )
+
+
+def test_arrow_and_expression_paths_identical(spark):
+    """Both paths bit-identical on a larger random corpus — a word-hash
+    collision in the Arrow path would surface here."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 120))), "s")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cols = [
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "dup_bigram_frac",
+        "dup_trigram_frac",
+        "top_word_frac",
+    ]
+    a = sorted(map(tuple, with_repetition_signals(df, use_arrow=True).select(cols).collect()))
+    b = sorted(map(tuple, with_repetition_signals(df, use_arrow=False).select(cols).collect()))
+    assert a == b
 
 
 def test_flags_and_keep(docs_df):
