@@ -882,6 +882,51 @@ def q_mixture_rebalance(spark, sf_dir):
     )
 
 
+def q_url_blocklist(spark, sf_dir):
+    """URL extraction + domain-blocklist filtering over deterministically
+    planted links (same CASE/concat construction in the oracle). The
+    blocklist probe is broadcast arrays_overlap — the corpus never
+    shuffles; the exact kept row set is pinned by per-source id sums."""
+    from data_drift_monitoring_spark.operators.urls import (
+        blocklist_report,
+        filter_blocklisted,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" ref https://spam.bad-site.org/x?y=1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 15 == 0,
+                F.lit(" alt http://Sub.Example.COM:8080/path"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    bl = ["spam.bad-site.org"]
+    rep = blocklist_report(planted, bl, "text2")
+    kept = (
+        filter_blocklisted(planted, bl, "text2")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_kept_ids"),
+        )
+    )
+    return rep.join(kept, on="source").orderBy("source")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -1441,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_window_stats": q_pack_window_stats,
         "q_pii_scan": q_pii_scan,
         "q_mixture_rebalance": q_mixture_rebalance,
+        "q_url_blocklist": q_url_blocklist,
         "q_csv_roundtrip": q_csv_roundtrip,
         "q_json_roundtrip": q_json_roundtrip,
         "q_exact_dedup": q_exact_dedup,
@@ -1900,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, window_id
         """,
         "q_pii_scan": _pii_scan_oracle(),
+        "q_url_blocklist": _url_blocklist_oracle(),
         "q_mixture_rebalance": """
             WITH n AS (
               SELECT source, COUNT(*) AS n_rows
@@ -2900,6 +2947,56 @@ def _lang_pred_cte() -> str:
                  END AS lang_pred
           FROM d
         )
+    """
+
+
+def _url_blocklist_oracle() -> str:
+    from data_drift_monitoring_spark.operators.urls import (
+        HOST_PATTERN,
+        URL_PATTERN,
+    )
+
+    return f"""
+        WITH p AS (
+          SELECT doc_id, source, text ||
+            CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://example.com/p/'
+                      || CAST(doc_id AS VARCHAR) ELSE '' END ||
+            CASE WHEN doc_id % 9 = 0
+                 THEN ' ref https://spam.bad-site.org/x?y=1'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 15 = 0
+                 THEN ' alt http://Sub.Example.COM:8080/path'
+                 ELSE '' END AS text2
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, source,
+                 regexp_extract_all(text2, '{URL_PATTERN}') AS urls
+          FROM p
+        ),
+        d2 AS (
+          SELECT doc_id, source, len(urls) AS n_urls,
+                 len(list_filter(
+                   list_distinct(list_transform(
+                     urls,
+                     x -> lower(regexp_extract(x, '{HOST_PATTERN}', 1))
+                   )),
+                   x -> x IN ('spam.bad-site.org'))) > 0 AS blocked
+          FROM u
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_urls,
+               CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+               CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_blocked,
+               CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN NOT blocked THEN doc_id ELSE 0 END)
+                    AS BIGINT) AS sum_kept_ids
+        FROM d2 GROUP BY source ORDER BY source
     """
 
 

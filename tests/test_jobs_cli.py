@@ -155,3 +155,40 @@ def test_dedup_corpus_cli(spark, tmp_path):
     assert cl == {1: 1, 2: 1, 3: 1}
     kept = sorted(r.doc_id for r in spark.read.parquet(deduped).collect())
     assert kept == [1, 4, 5]  # min key per cluster + untouched singles
+
+
+def test_filter_corpus_cli(spark, tmp_path, capsys):
+    from jobs.filter_corpus import main
+
+    rows = [
+        (0, "good varied document with many distinct words here", "a"),
+        (1, "spam spam spam spam spam spam spam spam", "a"),  # repetitive
+        (2, "email me at x@y.io for info and details thanks", "a"),
+        (3, "link https://blocked.example/x plus other words", "b"),
+        (4, "another clean diverse document for the corpus", "b"),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "--input", src,
+            "--output", out,
+            "--blocklist", "blocked.example",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(out)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 not in ids  # repetition filter
+    assert 3 not in ids  # blocklist
+    assert {0, 2, 4} <= ids
+    # PII redacted in place, original preserved
+    t2 = kept.filter("doc_id = 2").collect()[0]
+    assert "[EMAIL]" in t2["text"]
+    assert "x@y.io" in t2["text_raw"]
+    assert report["rows"]["input"] == 5
+    assert report["rows"]["output"] == len(ids)
