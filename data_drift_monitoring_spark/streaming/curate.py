@@ -1,0 +1,112 @@
+"""Streaming corpus curation: apply the batch corpus filters to a
+document stream.
+
+Continuously curates a landing directory of raw document batches into a
+curated table + a quarantine table: repetition keep-filter → PII
+redaction (in place, raw text preserved) → URL-blocklist filter. The
+same operators as ``jobs/filter_corpus.py``, lifted into Structured
+Streaming — every stage is a stateless per-row transformation, so the
+stream needs NO watermark or state store: each micro-batch is one scan,
+and checkpoint resume gives exactly-once appends of both outputs.
+
+Quarantined rows carry the reason (``repetition`` / ``blocklist``) and
+the micro-batch id as lineage, mirroring the verdict-stream convention
+of streaming/monitor.py. Mixture rebalancing is deliberately NOT here:
+it needs global per-stratum counts, which are meaningless per
+micro-batch — rebalance the curated table in batch instead."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.pii import redact_pii
+from ..operators.repetition import repetition_flags
+from ..operators.urls import with_urls
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def curate_batch(
+    batch: DataFrame,
+    text_col: str = "text",
+    blocklist: list[str] | None = None,
+    thresholds: dict[str, float] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(curated, quarantined) from one raw batch. Pure column
+    transformations — identical semantics in batch and per-micro-batch
+    (which is how it is tested without a running stream)."""
+    cols = batch.columns
+    flagged = repetition_flags(batch, text_col, thresholds)
+    quarantine_rep = (
+        flagged.filter(~F.col("repetition_keep"))
+        .select(*cols)
+        .withColumn("quarantine_reason", F.lit("repetition"))
+    )
+    kept = flagged.filter(F.col("repetition_keep")).select(*cols)
+    if blocklist:
+        # tag once, split into kept/blocked — avoids scanning the batch
+        # twice with complementary filters
+        from ..operators.urls import _blocked_col
+
+        tagged = _blocked_col(
+            with_urls(kept, text_col), blocklist, batch.sparkSession
+        )
+        quarantine_url = (
+            tagged.filter(F.col("__blocked"))
+            .select(*cols)
+            .withColumn("quarantine_reason", F.lit("blocklist"))
+        )
+        kept = tagged.filter(~F.col("__blocked")).select(*cols)
+        quarantine = quarantine_rep.unionByName(quarantine_url)
+    else:
+        quarantine = quarantine_rep
+    curated = (
+        redact_pii(kept, text_col, out_col="__red")
+        .withColumnRenamed(text_col, f"{text_col}_raw")
+        .withColumnRenamed("__red", text_col)
+    )
+    return curated, quarantine
+
+
+def start_curation(
+    spark: SparkSession,
+    input_dir: str,
+    curated_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCS_SCHEMA,
+    text_col: str = "text",
+    blocklist: list[str] | None = None,
+    thresholds: dict[str, float] | None = None,
+    available_now: bool = True,
+):
+    """Stream-curate arriving parquet document batches; returns the
+    StreamingQuery. ``available_now=True`` drains the backlog then stops;
+    ``False`` keeps polling. Both share the checkpoint for resume."""
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        curated, quarantine = curate_batch(
+            batch_df, text_col, blocklist, thresholds
+        )
+        (
+            curated.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(curated_dir)
+        )
+        (
+            quarantine.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(quarantine_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
