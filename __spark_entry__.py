@@ -32,6 +32,7 @@ from data_drift_monitoring_spark.operators import histogram as _hist
 from data_drift_monitoring_spark.operators import outliers as _out
 from data_drift_monitoring_spark.operators import sampling as _sampling
 from data_drift_monitoring_spark.operators import similarity as _sim
+from data_drift_monitoring_spark.operators import span_dedup as _span
 from data_drift_monitoring_spark.operators import stats as _stats
 from data_drift_monitoring_spark.operators import text_analysis as _ta
 from data_drift_monitoring_spark.operators import uniqueness as _uni
@@ -416,6 +417,29 @@ def q_token_drift(spark, sf_dir):
         "new_tokens",
         F.round("oov_pct", 4).alias("oov_pct"),
     )
+
+
+# duplicated-span dedup gram width: small enough that the word-soup corpus
+# has real duplicated spans at sf0.01, large enough to be selective
+_SPAN_K = 8
+
+
+def q_span_dedup(spark, sf_dir):
+    """Token-level exact-substring dedup (Lee et al. 2022 semantics at
+    k-gram granularity): per-doc accounting of removed duplicated-span
+    occurrences over the portable token ids; kept_token_sum pins the
+    EXACT surviving token multiset against the oracle."""
+    seq = _portable_sequences_view(spark, sf_dir)
+    return _span.span_dedup_stats(seq, k=_SPAN_K, portable=True).filter(
+        F.col("removed_occurrences") > 0
+    )
+
+
+def q_span_dedup_summary(spark, sf_dir):
+    """Corpus roll-up of the duplicated-span removal: affected docs,
+    removed-token total/pct, distinct duplicated grams."""
+    seq = _portable_sequences_view(spark, sf_dir)
+    return _span.span_dedup_summary(seq, k=_SPAN_K, portable=True)
 
 
 # stratified-sample gate rates — shared by the Spark query AND the oracle
@@ -1469,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chi2_returnflag": q_chi2_returnflag,
         "q_drift_verdict_sources": q_drift_verdict_sources,
         "q_token_drift": q_token_drift,
+        "q_span_dedup": q_span_dedup,
+        "q_span_dedup_summary": q_span_dedup_summary,
         "q_stratified_sample": q_stratified_sample,
         "q_contamination_pairs": q_contamination_pairs,
         "q_contamination_report": q_contamination_report,
@@ -1722,6 +1748,8 @@ def oracle_sql() -> dict[str, str]:
         "q_chi2_returnflag": _chi2_oracle(),
         "q_drift_verdict_sources": _source_drift_oracle(),
         "q_token_drift": _token_drift_oracle(),
+        "q_span_dedup": _span_dedup_oracle(summary=False),
+        "q_span_dedup_summary": _span_dedup_oracle(summary=True),
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_contamination_pairs": _contamination_pairs_oracle(),
         "q_contamination_report": _contamination_report_oracle(),
@@ -2202,6 +2230,89 @@ def _stratified_sample_oracle() -> str:
         FROM s WHERE h < keep_below
         GROUP BY source ORDER BY source
     """
+
+
+def _span_dedup_oracle(summary: bool) -> str:
+    """Full SQL recomputation of operators/span_dedup.py over the portable
+    token ids: gram = md5 of the comma-joined token-id k-window (bit-exact
+    with the Spark portable path), canonical = first (doc_id, pos) per
+    duplicated gram via ROW_NUMBER (same total order as Spark's
+    min(struct(doc_id, pos)) on BIGINT/INT), coverage = distinct union of
+    the non-canonical k-windows."""
+    k = _SPAN_K
+    cte = f"""
+        WITH seq AS (
+          SELECT doc_id,
+                 list_transform({_WORDS},
+                   w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT
+                             % {_PORTABLE_VOCAB} AS INT)) AS tokens
+          FROM documents
+        ),
+        occ AS (
+          SELECT s.doc_id, t.i - 1 AS pos,
+                 md5(array_to_string(s.tokens[t.i : t.i + {k} - 1], ',')) AS gram
+          FROM seq s,
+               LATERAL unnest(generate_series(1, len(s.tokens) - {k} + 1)) AS t(i)
+          WHERE len(s.tokens) >= {k}
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY gram) AS gram_count,
+                 ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+          FROM occ
+        ),
+        removed AS (
+          SELECT doc_id, pos FROM marked WHERE gram_count >= 2 AND rn > 1
+        ),
+        cov AS (
+          SELECT DISTINCT r.doc_id, u.idx
+          FROM removed r,
+               LATERAL unnest(generate_series(r.pos, r.pos + {k} - 1)) AS u(idx)
+        ),
+        per_doc_cov AS (
+          SELECT c.doc_id,
+                 COUNT(*) AS covered_tokens,
+                 SUM(s.tokens[c.idx + 1]) AS covered_sum
+          FROM cov c JOIN seq s USING (doc_id)
+          GROUP BY c.doc_id
+        ),
+        per_doc_removed AS (
+          SELECT doc_id, COUNT(*) AS removed_occurrences
+          FROM removed GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id, len(tokens) AS n_tok,
+                 COALESCE(list_sum(tokens), 0) AS tok_sum
+          FROM seq
+        )
+    """
+    if not summary:
+        return cte + f"""
+        SELECT t.doc_id,
+               CAST(t.n_tok AS BIGINT) AS n_tok,
+               CAST(r.removed_occurrences AS BIGINT) AS removed_occurrences,
+               CAST(c.covered_tokens AS BIGINT) AS covered_tokens,
+               CAST(t.n_tok - c.covered_tokens AS BIGINT) AS kept_n_tok,
+               CAST(t.tok_sum - c.covered_sum AS BIGINT) AS kept_token_sum
+        FROM per_doc_removed r
+        JOIN per_doc_cov c USING (doc_id)
+        JOIN tot t USING (doc_id)
+        """
+    return cte + f"""
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM seq) AS docs_total,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc_cov) AS docs_affected,
+               (SELECT CAST(SUM(n_tok) AS BIGINT) FROM tot) AS tokens_total,
+               COALESCE((SELECT CAST(SUM(covered_tokens) AS BIGINT)
+                         FROM per_doc_cov), 0) AS tokens_removed,
+               ROUND(100.0 * COALESCE((SELECT SUM(covered_tokens)
+                                       FROM per_doc_cov), 0)
+                     / (SELECT SUM(n_tok) FROM tot), 4) AS removed_pct,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2)
+               ) AS dup_grams,
+               COALESCE((SELECT CAST(SUM(removed_occurrences) AS BIGINT)
+                         FROM per_doc_removed), 0) AS removed_occurrences
+        """
 
 
 def _token_drift_oracle() -> str:

@@ -86,6 +86,7 @@ HEADLINE = [
     "q_pii_scan",
     "q_mixture_rebalance",
     "q_url_blocklist",
+    "q_span_dedup",
 ]
 
 
