@@ -32,6 +32,7 @@ from data_drift_monitoring_spark.operators import histogram as _hist
 from data_drift_monitoring_spark.operators import outliers as _out
 from data_drift_monitoring_spark.operators import sampling as _sampling
 from data_drift_monitoring_spark.operators import similarity as _sim
+from data_drift_monitoring_spark.operators import sharding as _sharding
 from data_drift_monitoring_spark.operators import span_dedup as _span
 from data_drift_monitoring_spark.operators import stats as _stats
 from data_drift_monitoring_spark.operators import text_analysis as _ta
@@ -440,6 +441,15 @@ def q_span_dedup_summary(spark, sf_dir):
     removed-token total/pct, distinct duplicated grams."""
     seq = _portable_sequences_view(spark, sf_dir)
     return _span.span_dedup_summary(seq, k=_SPAN_K, portable=True)
+
+
+def q_shard_layout(spark, sf_dir):
+    """Deterministic training-shard assignment (the pre-training global
+    shuffle): per-shard balance plus exact-membership (key sums) and
+    order-endpoint (first/last sort_key) pins, all recomputed in SQL
+    from the same portable md5 hash."""
+    d = _read(spark, sf_dir, "documents")
+    return _sharding.shard_stats(d, n_shards=8, key_col="doc_id", portable=True)
 
 
 # stratified-sample gate rates — shared by the Spark query AND the oracle
@@ -1495,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_drift": q_token_drift,
         "q_span_dedup": q_span_dedup,
         "q_span_dedup_summary": q_span_dedup_summary,
+        "q_shard_layout": q_shard_layout,
         "q_stratified_sample": q_stratified_sample,
         "q_contamination_pairs": q_contamination_pairs,
         "q_contamination_report": q_contamination_report,
@@ -1750,6 +1761,24 @@ def oracle_sql() -> dict[str, str]:
         "q_token_drift": _token_drift_oracle(),
         "q_span_dedup": _span_dedup_oracle(summary=False),
         "q_span_dedup_summary": _span_dedup_oracle(summary=True),
+        "q_shard_layout": """
+            WITH a AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT
+                          % 8 AS INT) AS shard,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 15))::BIGINT
+                       AS sort_key
+              FROM documents
+            )
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id) AS BIGINT) AS key_sum,
+                   CAST(MIN(doc_id) AS BIGINT) AS key_min,
+                   CAST(MAX(doc_id) AS BIGINT) AS key_max,
+                   MIN(sort_key) AS first_sort_key,
+                   MAX(sort_key) AS last_sort_key
+            FROM a GROUP BY shard ORDER BY shard
+        """,
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_contamination_pairs": _contamination_pairs_oracle(),
         "q_contamination_report": _contamination_report_oracle(),

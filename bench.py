@@ -87,6 +87,7 @@ HEADLINE = [
     "q_mixture_rebalance",
     "q_url_blocklist",
     "q_span_dedup",
+    "q_shard_layout",
 ]
 
 

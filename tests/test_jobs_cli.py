@@ -192,3 +192,31 @@ def test_filter_corpus_cli(spark, tmp_path, capsys):
     assert "x@y.io" in t2["text_raw"]
     assert report["rows"]["input"] == 5
     assert report["rows"]["output"] == len(ids)
+
+
+def test_shard_corpus_cli(spark, tmp_path):
+    from jobs.shard_corpus import main
+
+    corpus = spark.createDataFrame(
+        [(i, f"payload{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "shard_corpus.parquet")
+    corpus.write.parquet(src)
+    out = str(tmp_path / "shards")
+    rc = main(["--input", src, "--output", out, "--n-shards", "4"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    assert got.select("shard").distinct().count() == 4
+    # rerun reproduces identical shard membership AND within-shard order
+    main(["--input", src, "--output", out + "2", "--n-shards", "4"])
+    for shard in range(4):
+        a = [
+            (r.doc_id, r.sort_key)
+            for r in spark.read.parquet(f"{out}/shard={shard}").collect()
+        ]
+        b = [
+            (r.doc_id, r.sort_key)
+            for r in spark.read.parquet(f"{out}2/shard={shard}").collect()
+        ]
+        assert a == b and a == sorted(a, key=lambda t: (t[1], t[0]))
