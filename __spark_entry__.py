@@ -443,6 +443,18 @@ def q_span_dedup_summary(spark, sf_dir):
     return _span.span_dedup_summary(seq, k=_SPAN_K, portable=True)
 
 
+def q_span_dedup_against(spark, sf_dir):
+    """Incremental duplicated-span check of a new batch (odd doc_ids)
+    against a corpus index (even doc_ids) — per-ingest span dedup
+    without re-self-deduping the corpus."""
+    seq = _portable_sequences_view(spark, sf_dir)
+    index = seq.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    new = seq.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return _span.span_dedup_stats_against(
+        index, new, k=_SPAN_K, portable=True
+    ).filter(F.col("removed_occurrences") > 0)
+
+
 def q_shard_layout(spark, sf_dir):
     """Deterministic training-shard assignment (the pre-training global
     shuffle): per-shard balance plus exact-membership (key sums) and
@@ -1505,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_drift": q_token_drift,
         "q_span_dedup": q_span_dedup,
         "q_span_dedup_summary": q_span_dedup_summary,
+        "q_span_dedup_against": q_span_dedup_against,
         "q_shard_layout": q_shard_layout,
         "q_stratified_sample": q_stratified_sample,
         "q_contamination_pairs": q_contamination_pairs,
@@ -1761,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_drift": _token_drift_oracle(),
         "q_span_dedup": _span_dedup_oracle(summary=False),
         "q_span_dedup_summary": _span_dedup_oracle(summary=True),
+        "q_span_dedup_against": _span_dedup_against_oracle(),
         "q_shard_layout": """
             WITH a AS (
               SELECT doc_id,
@@ -2342,6 +2356,67 @@ def _span_dedup_oracle(summary: bool) -> str:
                COALESCE((SELECT CAST(SUM(removed_occurrences) AS BIGINT)
                          FROM per_doc_removed), 0) AS removed_occurrences
         """
+
+
+def _span_dedup_against_oracle() -> str:
+    """SQL mirror of span_dedup_stats_against over parity halves: every
+    odd-doc gram occurrence whose gram exists anywhere in the even-doc
+    index is removed; coverage = distinct union of the k-windows."""
+    k = _SPAN_K
+    return f"""
+        WITH seq AS (
+          SELECT doc_id,
+                 list_transform({_WORDS},
+                   w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT
+                             % {_PORTABLE_VOCAB} AS INT)) AS tokens
+          FROM documents
+        ),
+        occ AS (
+          SELECT s.doc_id, t.i - 1 AS pos,
+                 md5(array_to_string(s.tokens[t.i : t.i + {k} - 1], ',')) AS gram
+          FROM seq s,
+               LATERAL unnest(generate_series(1, len(s.tokens) - {k} + 1)) AS t(i)
+          WHERE len(s.tokens) >= {k}
+        ),
+        index_grams AS (
+          SELECT DISTINCT gram FROM occ WHERE doc_id % 2 = 0
+        ),
+        removed AS (
+          SELECT o.doc_id, o.pos
+          FROM occ o JOIN index_grams USING (gram)
+          WHERE o.doc_id % 2 = 1
+        ),
+        cov AS (
+          SELECT DISTINCT r.doc_id, u.idx
+          FROM removed r,
+               LATERAL unnest(generate_series(r.pos, r.pos + {k} - 1)) AS u(idx)
+        ),
+        per_doc_cov AS (
+          SELECT c.doc_id,
+                 COUNT(*) AS covered_tokens,
+                 SUM(s.tokens[c.idx + 1]) AS covered_sum
+          FROM cov c JOIN seq s USING (doc_id)
+          GROUP BY c.doc_id
+        ),
+        per_doc_removed AS (
+          SELECT doc_id, COUNT(*) AS removed_occurrences
+          FROM removed GROUP BY doc_id
+        ),
+        tot AS (
+          SELECT doc_id, len(tokens) AS n_tok,
+                 COALESCE(list_sum(tokens), 0) AS tok_sum
+          FROM seq WHERE doc_id % 2 = 1
+        )
+        SELECT t.doc_id,
+               CAST(t.n_tok AS BIGINT) AS n_tok,
+               CAST(r.removed_occurrences AS BIGINT) AS removed_occurrences,
+               CAST(c.covered_tokens AS BIGINT) AS covered_tokens,
+               CAST(t.n_tok - c.covered_tokens AS BIGINT) AS kept_n_tok,
+               CAST(t.tok_sum - c.covered_sum AS BIGINT) AS kept_token_sum
+        FROM per_doc_removed r
+        JOIN per_doc_cov c USING (doc_id)
+        JOIN tot t USING (doc_id)
+    """
 
 
 def _token_drift_oracle() -> str:

@@ -127,6 +127,103 @@ def test_summary_and_conservation(spark, planted):
     )
 
 
-def test_no_python_udf_in_plan(spark, planted):
-    plan = SD.span_dedup_stats(planted, k=K)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+def test_arrow_and_expression_paths_agree(spark):
+    """The Arrow gram combiner and the xxhash64 expression twin hash
+    differently but must produce IDENTICAL dedup output on data with
+    real duplicate structure."""
+    import random
+
+    rng = random.Random(7)
+    span = [rng.randrange(1 << 20) for _ in range(12)]
+    docs = []
+    for i in range(120):
+        toks = [rng.randrange(1 << 20) for _ in range(rng.randrange(2, 40))]
+        if i % 5 == 0:
+            p = rng.randrange(0, len(toks) + 1)
+            toks = toks[:p] + span + toks[p:]
+        docs.append((f"d{i:03d}", toks))
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>").repartition(5)
+    a = {r["doc_id"]: tuple(r)[1:] for r in SD.span_dedup_stats(df, k=5, use_arrow=True).collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in SD.span_dedup_stats(df, k=5, use_arrow=False).collect()}
+    assert a == b
+    assert sum(r[2] for r in a.values()) > 0  # covered_tokens: real work
+
+
+def test_portable_plan_has_no_python(spark, planted):
+    plan = (
+        SD.span_dedup_stats(planted, k=K, portable=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # the default path's only Python is the vectorized Arrow gram pass
+    dplan = (
+        SD.span_dedup_stats(planted, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in dplan
+
+
+def test_against_index_cross_side_only(spark):
+    """Incremental path: new-batch spans matching the index are removed;
+    duplicates purely WITHIN the new batch are untouched."""
+    index = spark.createDataFrame(
+        [("i1", [10, 11, 12, 13, 14, 1, 2])], "doc_id string, tokens array<int>"
+    )
+    new = spark.createDataFrame(
+        [
+            ("n1", [7, 10, 11, 12, 13, 14, 8]),   # carries the indexed span
+            ("n2", [20, 21, 22, 30, 31]),          # within-batch dup pair...
+            ("n3", [20, 21, 22, 40, 41]),          # ...shares 20,21,22 with n2
+            ("n4", [50, 51]),                       # clean + short
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in SD.span_dedup_stats_against(index, new, k=3).collect()
+    }
+    assert set(rows) == {"n1", "n2", "n3", "n4"}
+    # n1: indexed grams 10..14 -> covered positions 1..5
+    assert rows["n1"]["covered_tokens"] == 5
+    assert rows["n1"]["kept_n_tok"] == 2
+    assert rows["n1"]["kept_token_sum"] == 7 + 8
+    # within-batch-only dup is NOT the incremental operator's job
+    assert rows["n2"]["covered_tokens"] == 0
+    assert rows["n3"]["covered_tokens"] == 0
+    assert rows["n4"]["covered_tokens"] == 0
+
+
+def test_against_index_portable_matches_arrow(spark):
+    import random
+
+    rng = random.Random(3)
+    span = [rng.randrange(1 << 20) for _ in range(9)]
+    mk = lambda i, plant: (
+        f"x{i:03d}",
+        [rng.randrange(1 << 20) for _ in range(rng.randrange(4, 25))]
+        + (span if plant else []),
+    )
+    index = spark.createDataFrame(
+        [mk(i, i % 4 == 0) for i in range(40)], "doc_id string, tokens array<int>"
+    )
+    new = spark.createDataFrame(
+        [mk(100 + i, i % 3 == 0) for i in range(40)],
+        "doc_id string, tokens array<int>",
+    )
+    a = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in SD.span_dedup_stats_against(index, new, k=4).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in SD.span_dedup_stats_against(
+            index, new, k=4, portable=True
+        ).collect()
+    }
+    assert a == b
+    assert sum(r[2] for r in a.values()) > 0
