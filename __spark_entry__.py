@@ -443,6 +443,43 @@ def q_span_dedup_summary(spark, sf_dir):
     return _span.span_dedup_summary(seq, k=_SPAN_K, portable=True)
 
 
+_QCLS_ARTIFACT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".gate_artifacts",
+    "quality_weights.parquet",
+)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Driver-fit logistic quality classifier scored JVM-side with the
+    fitted weights as plan literals. Labels are deterministic
+    (n_chars > 300). Oracle strategy: the fit is layout-invariant
+    (canonical-sorted full sample), its 13 floats are exported to
+    ``.gate_artifacts/quality_weights.parquet`` (a committed sf0.01 seed
+    keeps the oracle evaluable before the query runs in a fresh
+    checkout), and DuckDB recomputes the FEATURES from raw documents and
+    the sigmoid scoring itself — only the weights are shared, the whole
+    scoring path is verified independently. Probabilities round to 6
+    decimals in both engines before the keep decision, so last-ulp exp()
+    differences cannot flip it."""
+    from data_drift_monitoring_spark.operators import quality_classifier as _qc
+
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("n_chars") > 300).cast("int")
+    )
+    model = _qc.fit_quality_classifier(d, "label", max_sample=500_000, seed=5)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    row = {"b": model.bias}
+    for i, (w, mu, s) in enumerate(zip(model.weights, model.mu, model.sigma), 1):
+        row[f"w{i}"], row[f"mu{i}"], row[f"s{i}"] = w, mu, s
+    os.makedirs(os.path.dirname(_QCLS_ARTIFACT), exist_ok=True)
+    pq.write_table(pa.table({k: [v] for k, v in sorted(row.items())}), _QCLS_ARTIFACT)
+    scored = _qc.score_quality(d, model)
+    return _qc.classifier_report(scored, "label", "source")
+
+
 def q_span_dedup_against(spark, sf_dir):
     """Incremental duplicated-span check of a new batch (odd doc_ids)
     against a corpus index (even doc_ids) — per-ingest span dedup
@@ -1519,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup_summary": q_span_dedup_summary,
         "q_span_dedup_against": q_span_dedup_against,
         "q_shard_layout": q_shard_layout,
+        "q_quality_classifier": q_quality_classifier,
         "q_stratified_sample": q_stratified_sample,
         "q_contamination_pairs": q_contamination_pairs,
         "q_contamination_report": q_contamination_report,
@@ -1775,6 +1813,39 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup": _span_dedup_oracle(summary=False),
         "q_span_dedup_summary": _span_dedup_oracle(summary=True),
         "q_span_dedup_against": _span_dedup_against_oracle(),
+        "q_quality_classifier": f"""
+            WITH wt AS (SELECT * FROM read_parquet('{_QCLS_ARTIFACT}')),
+            d AS (
+              SELECT source,
+                     CAST(n_chars > 300 AS INT) AS label,
+                     ln(1 + length(text)) AS f1,
+                     CAST(length(text) AS DOUBLE)
+                       / GREATEST(len({_WORDS}), 1) AS f2,
+                     CAST(len(list_filter({_WORDS}, x -> x IN {_STOPWORDS}))
+                          AS DOUBLE) / GREATEST(len({_WORDS}), 1) AS f3,
+                     CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                          AS DOUBLE) / GREATEST(length(text), 1) AS f4
+              FROM documents
+            ),
+            s AS (
+              SELECT d.source, d.label,
+                     ROUND(1.0 / (1.0 + exp(-(wt.b
+                       + wt.w1 * ((d.f1 - wt.mu1) / wt.s1)
+                       + wt.w2 * ((d.f2 - wt.mu2) / wt.s2)
+                       + wt.w3 * ((d.f3 - wt.mu3) / wt.s3)
+                       + wt.w4 * ((d.f4 - wt.mu4) / wt.s4)))), 6) AS prob
+              FROM d, wt
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(prob), 6) AS mean_prob,
+                   CAST(SUM(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS kept,
+                   CAST(SUM(CASE WHEN (CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END)
+                                      = label THEN 1 ELSE 0 END) AS BIGINT)
+                     AS agree
+            FROM s GROUP BY source ORDER BY source
+        """,
         "q_shard_layout": """
             WITH a AS (
               SELECT doc_id,

@@ -88,6 +88,7 @@ HEADLINE = [
     "q_url_blocklist",
     "q_span_dedup",
     "q_shard_layout",
+    "q_quality_classifier",
 ]
 
 
