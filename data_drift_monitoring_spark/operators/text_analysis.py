@@ -253,3 +253,26 @@ def corpus_summary(
         F.min("n_chars_q").alias("min_chars"),
         F.max("n_chars_q").alias("max_chars"),
     )
+
+
+def tokenize_words(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab: int = (1 << 31) - 1,
+    tokens_col: str = "tokens",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Deterministic word-hash tokenization: lowercase, collapse
+    whitespace, split on single spaces, hash each word to
+    ``pmod(xxhash64(word), vocab)``. The cheap, vocabulary-free stand-in
+    a validation/layout pipeline uses when the real BPE tokenizer runs
+    elsewhere — same construction as the gate's sequences view, exposed
+    as a library operator so the end-to-end preparation CLI can feed
+    ``span_dedup``/``packing`` from raw text. Pure per-row projection."""
+    words = _words(text_col)
+    return df.withColumn(
+        tokens_col,
+        F.transform(
+            words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
+        ),
+    ).withColumn(n_tok_col, F.size(F.col(tokens_col)).cast("int"))

@@ -1,0 +1,141 @@
+"""spark-submit entry: raw documents -> training-ready shards, end to
+end — the full layout path a pre-training data pipeline runs after
+curation (no reference analogue; BASELINE.json north-star
+training-pipeline role).
+
+Cluster usage::
+
+    spark-submit --py-files engine.zip jobs/prepare_training_data.py \
+        --input /path/to/docs.parquet --output /path/to/prepared \
+        --context-len 2048 --n-shards 64 \
+        [--no-curate] [--no-near-dedup] [--no-span-dedup] \
+        [--span-k 16] [--minhash-threshold 0.7] [--vocab 2147483647] \
+        [--prefix-buckets 32] [--seed 0] [--report path.json]
+
+Stages (each skippable; per-stage row/token counts in the JSON report):
+
+  1. curate      — Gopher repetition keep-filter + PII redaction
+                   (delegates to the filter_corpus operator set)
+  2. exact dedup — keep-first on the normalized-content digest
+  3. near dedup  — MinHash+LSH verified pairs -> cluster keep-one
+  4. tokenize    — deterministic word-hash tokens (swap for your real
+                   tokenizer's output table if you have one)
+  5. span dedup  — remove non-canonical duplicated k-gram spans
+                   (token-level, Lee et al. 2022 semantics)
+  6. pack        — layout docs into fixed context windows (distributed
+                   prefix sum when --prefix-buckets is set)
+  7. shard       — deterministic hash shards, one ordered file per
+                   shard under shard=<i>/
+
+The output parquet holds (doc_id, source, tokens, n_tok, start_tok,
+first_window, last_window, n_windows, shard, sort_key) — everything a
+loader needs to stream fixed-length training windows in a reproducible
+order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--context-len", type=int, default=2048)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--key-col", default="doc_id")
+    ap.add_argument("--no-curate", action="store_true")
+    ap.add_argument("--no-near-dedup", action="store_true")
+    ap.add_argument("--no-span-dedup", action="store_true")
+    ap.add_argument("--span-k", type=int, default=16)
+    ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--vocab", type=int, default=(1 << 31) - 1)
+    ap.add_argument("--prefix-buckets", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from data_drift_monitoring_spark.operators import dedup as D
+    from data_drift_monitoring_spark.operators import span_dedup as SD
+    from data_drift_monitoring_spark.operators.packing import pack_windows
+    from data_drift_monitoring_spark.operators.pii import redact_pii
+    from data_drift_monitoring_spark.operators.repetition import repetition_flags
+    from data_drift_monitoring_spark.operators.sharding import shard_layout
+    from data_drift_monitoring_spark.operators.text_analysis import tokenize_words
+    from data_drift_monitoring_spark.session import get_spark
+
+    spark = get_spark(app_name="prepare-training-data", master=args.master)
+    tc = args.text_col
+    df = spark.read.parquet(args.input)
+    report: dict = {"input_rows": df.count()}
+
+    orig_cols = df.columns
+    if not args.no_curate:
+        df = (
+            repetition_flags(df, text_col=tc)
+            .filter(F.col("repetition_keep"))
+            .select(*orig_cols)
+        )
+        df = redact_pii(df, text_col=tc).select(*orig_cols)
+        report["after_curate"] = df.count()
+
+    df = D.dedup_exact_content(df, args.key_col, text_col=tc)
+    report["after_exact_dedup"] = df.count()
+
+    if not args.no_near_dedup:
+        pairs = D.minhash_verified_duplicates(
+            df, args.key_col, text_col=tc, threshold=args.minhash_threshold
+        )
+        df = D.dedup_by_clusters(df, pairs, args.key_col)
+        report["after_near_dedup"] = df.count()
+
+    df = tokenize_words(df, text_col=tc, vocab=args.vocab)
+
+    if not args.no_span_dedup:
+        df = SD.remove_duplicate_spans(
+            df, k=args.span_k, id_col=args.key_col
+        ).withColumn("n_tok", F.size("tokens").cast("int"))
+        report["span_tokens_removed"] = df.agg(
+            F.sum("covered_tokens").cast("bigint")
+        ).collect()[0][0]
+        df = df.drop("covered_tokens")
+
+    packed = pack_windows(
+        df,
+        context_len=args.context_len,
+        order_col=args.key_col,
+        prefix_buckets=args.prefix_buckets,
+    )
+    report["total_tokens"] = packed.agg(
+        F.sum("n_tok").cast("bigint")
+    ).collect()[0][0]
+
+    out = shard_layout(
+        packed, args.n_shards, key_col=args.key_col, seed=args.seed
+    ).drop(tc)
+    out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+
+    final = spark.read.parquet(args.output)
+    report["output_rows"] = final.count()
+    report["n_shards"] = final.select("shard").distinct().count()
+    report["output"] = args.output
+    line = json.dumps(report)
+    if args.report:
+        with open(args.report, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

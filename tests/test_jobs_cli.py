@@ -220,3 +220,61 @@ def test_shard_corpus_cli(spark, tmp_path):
             for r in spark.read.parquet(f"{out}2/shard={shard}").collect()
         ]
         assert a == b and a == sorted(a, key=lambda t: (t[1], t[0]))
+
+
+def test_prepare_training_data_cli(spark, tmp_path):
+    """End-to-end raw-docs -> shards: every stage removes what it should
+    (planted exact dup, near dup, shared token span, repetitive doc) and
+    the output is a loadable sharded token table."""
+    from jobs.prepare_training_data import main
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "while many other words keep the document long enough for checks"
+    )
+    shared = "common boilerplate sentence repeated across documents verbatim here"
+    rows = []
+    for i in range(60):
+        rows.append((f"doc{i:03d}", f"{base} unique filler {i} " + " ".join(
+            f"w{i}x{j}" for j in range(30)), "web"))
+    rows.append(("dup_exact", rows[0][1], "web"))            # exact dup of doc000
+    rows.append(("dup_near", rows[1][1] + " tiny change", "web"))  # near dup of doc001
+    rows.append(("rep_doc", "spam spam spam spam spam spam spam spam", "web"))
+    rows.append(("span_a", f"{shared} plus its own distinct tail words alpha beta", "web"))
+    rows.append(("span_b", f"{shared} plus another different ending gamma delta", "web"))
+    src = str(tmp_path / "raw.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string, source string").write.parquet(src)
+
+    out = str(tmp_path / "prepared")
+    rc = main([
+        "--input", src, "--output", out,
+        "--context-len", "64", "--n-shards", "4", "--span-k", "5",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert "dup_exact" not in ids          # exact dedup
+    assert "dup_near" not in ids           # near-dup cluster keep-one
+    assert "rep_doc" not in ids            # repetition filter
+    assert "span_a" in ids and "span_b" in ids
+    # the shared span survives in exactly one of the two carriers
+    span_toks = {
+        r.doc_id: r.n_tok
+        for r in got.filter(F.col("doc_id").isin("span_a", "span_b")).collect()
+    }
+    assert min(span_toks.values()) < max(span_toks.values())
+    for col in ("tokens", "n_tok", "start_tok", "first_window",
+                "n_windows", "shard", "sort_key"):
+        assert col in got.columns, col
+    assert got.select("shard").distinct().count() == 4
+    # rerun -> byte-identical membership (deterministic end to end)
+    main([
+        "--input", src, "--output", out + "2",
+        "--context-len", "64", "--n-shards", "4", "--span-k", "5",
+    ])
+    a = sorted((r.doc_id, r.shard, r.n_tok) for r in got.collect())
+    b = sorted(
+        (r.doc_id, r.shard, r.n_tok)
+        for r in spark.read.parquet(out + "2").collect()
+    )
+    assert a == b
