@@ -369,12 +369,32 @@ def span_dedup_stats_against(
     against new-batch occurrences is gram-keyed, and the small new side
     aggregates per doc exactly like the self-dedup path.
     """
-    new_occ = ngram_occurrences(new, k, tokens_col, id_col, portable, use_arrow)
     index_grams = (
         ngram_occurrences(index, k, tokens_col, id_col, portable, use_arrow)
         .select("gram")
         .distinct()
     )
+    return span_dedup_stats_against_grams(
+        index_grams, new, k, tokens_col, id_col, portable, use_arrow
+    )
+
+
+def span_dedup_stats_against_grams(
+    index_grams: DataFrame,
+    new: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """:func:`span_dedup_stats_against` with the index already reduced to
+    its distinct ``gram`` column — the entry point for incremental /
+    streaming use where the gram index is PERSISTED between batches
+    instead of re-derived from the corpus each time. ``index_grams``
+    must be deduplicated (duplicate gram rows would fan out the join and
+    inflate removed_occurrences)."""
+    new_occ = ngram_occurrences(new, k, tokens_col, id_col, portable, use_arrow)
     removed = (
         new_occ.join(index_grams, "gram")
         .groupBy(id_col)

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.pii import redact_pii
 from ..operators.repetition import repetition_flags
+from ..operators.span_dedup import ngram_occurrences, span_dedup_stats_against_grams
+from ..operators.text_analysis import tokenize_words
 from ..operators.urls import with_urls
 
 DOCS_SCHEMA = (
@@ -81,10 +83,27 @@ def start_curation(
     blocklist: list[str] | None = None,
     thresholds: dict[str, float] | None = None,
     available_now: bool = True,
+    span_index_dir: str | None = None,
+    span_k: int = 16,
+    span_drop_at: float = 0.5,
 ):
     """Stream-curate arriving parquet document batches; returns the
     StreamingQuery. ``available_now=True`` drains the backlog then stops;
-    ``False`` keeps polling. Both share the checkpoint for resume."""
+    ``False`` keeps polling. Both share the checkpoint for resume.
+
+    ``span_index_dir`` enables incremental cross-batch span dedup: each
+    micro-batch is tokenized (word-hash) and checked against the
+    persisted gram index of every PRIOR batch
+    (``span_dedup_stats_against_grams``); docs whose covered-token
+    fraction reaches ``span_drop_at`` quarantine with reason
+    ``span_duplicate``, and the surviving docs' distinct grams append to
+    the index. The index is 8-byte gram rows — compact, but the probe
+    re-reads it per batch; at deploy scale keep it bucketed (or in
+    Iceberg with a bloom) so the join prunes. Replayed batches after a
+    checkpoint resume may re-append grams; the probe deduplicates at
+    read time (``distinct()``), so membership semantics are unaffected.
+    Within-batch duplicates are intentionally NOT dropped here (batch
+    policy, same as the _against operator contract)."""
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)
     )
@@ -93,6 +112,34 @@ def start_curation(
         curated, quarantine = curate_batch(
             batch_df, text_col, blocklist, thresholds
         )
+        if span_index_dir is not None:
+            tok = tokenize_words(curated, text_col=text_col)
+            try:
+                idx = spark.read.parquet(span_index_dir).select("gram").distinct()
+            except Exception:  # first batch: no index yet
+                idx = spark.createDataFrame([], "gram bigint")
+            stats = span_dedup_stats_against_grams(idx, tok, k=span_k)
+            dup_ids = stats.filter(
+                (F.col("n_tok") > 0)
+                & (F.col("covered_tokens") >= span_drop_at * F.col("n_tok"))
+            ).select("doc_id")
+            base_cols = [c for c in quarantine.columns if c != "quarantine_reason"]
+            dropped = (
+                curated.join(dup_ids, "doc_id")
+                .select(*base_cols)
+                .withColumn("quarantine_reason", F.lit("span_duplicate"))
+            )
+            quarantine = quarantine.unionByName(dropped)
+            curated = curated.join(dup_ids, "doc_id", "left_anti")
+            (
+                ngram_occurrences(
+                    tokenize_words(curated, text_col=text_col), k=span_k
+                )
+                .select("gram")
+                .distinct()
+                .write.mode("append")
+                .parquet(span_index_dir)
+            )
         (
             curated.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -63,3 +63,46 @@ def test_stream_curation_available_now(spark, tmp_path):
     after = spark.read.parquet(cur)
     assert after.count() == 4
     assert after.filter(F.col("doc_id") == 10).count() == 1
+
+
+def test_stream_incremental_span_dedup(spark, tmp_path):
+    """Cross-batch span dedup: batch 2's doc that replays batch 1's span
+    is quarantined as span_duplicate; fresh docs pass; the gram index
+    accumulates."""
+    inp = str(tmp_path / "landing2")
+    cur = str(tmp_path / "curated2")
+    quar = str(tmp_path / "quarantine2")
+    ckpt = str(tmp_path / "ckpt2")
+    idx = str(tmp_path / "gram_index")
+
+    span = "shared boilerplate passage with plenty of words that repeats verbatim across batches"
+    b1 = [
+        (0, f"{span} and a first unique tail of words", "en", "a", 0),
+        (1, "wholly different clean document with diverse words", "en", "a", 0),
+    ]
+    spark.createDataFrame(b1, SCHEMA).write.parquet(inp)
+    q = start_curation(
+        spark, inp, cur, quar, ckpt, span_index_dir=idx, span_k=5
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(cur).collect()} == {0, 1}
+    n_grams_1 = spark.read.parquet(idx).distinct().count()
+    assert n_grams_1 > 0
+
+    # batch 2: one doc is mostly batch-1 span (drop), one is fresh (keep)
+    b2 = [
+        (10, f"{span} with a different short ending", "en", "a", 0),
+        (11, "completely novel text with entirely fresh vocabulary words", "en", "a", 0),
+    ]
+    spark.createDataFrame(b2, SCHEMA).write.mode("append").parquet(inp)
+    q2 = start_curation(
+        spark, inp, cur, quar, ckpt, span_index_dir=idx, span_k=5
+    )
+    q2.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(cur).collect()} == {0, 1, 11}
+    quarantined = {
+        r.doc_id: r["quarantine_reason"]
+        for r in spark.read.parquet(quar).collect()
+    }
+    assert quarantined.get(10) == "span_duplicate"
+    assert spark.read.parquet(idx).distinct().count() > n_grams_1
