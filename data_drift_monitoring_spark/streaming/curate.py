@@ -9,11 +9,14 @@ Streaming — every stage is a stateless per-row transformation, so the
 stream needs NO watermark or state store: each micro-batch is one scan,
 and checkpoint resume gives exactly-once appends of both outputs.
 
-Quarantined rows carry the reason (``repetition`` / ``blocklist``) and
-the micro-batch id as lineage, mirroring the verdict-stream convention
-of streaming/monitor.py. Mixture rebalancing is deliberately NOT here:
-it needs global per-stratum counts, which are meaningless per
-micro-batch — rebalance the curated table in batch instead."""
+Quarantined rows carry the reason (``repetition`` / ``blocklist`` /
+``span_duplicate``) and the micro-batch id as lineage, mirroring the
+verdict-stream convention of streaming/monitor.py. The optional
+cross-batch span dedup keeps its state in an external parquet gram
+index, not Spark's state store — see ``start_curation``. Mixture
+rebalancing is deliberately NOT here: it needs global per-stratum
+counts, which are meaningless per micro-batch — rebalance the curated
+table in batch instead."""
 
 from __future__ import annotations
 
@@ -114,9 +117,13 @@ def start_curation(
         )
         if span_index_dir is not None:
             tok = tokenize_words(curated, text_col=text_col)
+            from pyspark.errors import AnalysisException
+
             try:
                 idx = spark.read.parquet(span_index_dir).select("gram").distinct()
-            except Exception:  # first batch: no index yet
+            except AnalysisException:  # first batch: no index yet; any
+                # other failure (corrupt index, permissions) must raise —
+                # silently treating it as empty would skip dedup quietly
                 idx = spark.createDataFrame([], "gram bigint")
             stats = span_dedup_stats_against_grams(idx, tok, k=span_k)
             dup_ids = stats.filter(

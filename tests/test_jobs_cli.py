@@ -278,3 +278,33 @@ def test_prepare_training_data_cli(spark, tmp_path):
         for r in spark.read.parquet(out + "2").collect()
     )
     assert a == b
+
+
+def test_score_quality_cli(spark, tmp_path):
+    from jobs.score_quality import main
+    from tests.test_quality_classifier import _make_corpus
+
+    rows = _make_corpus(200, seed=23)
+    seed_path = str(tmp_path / "seedset.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string, label int").write.parquet(seed_path)
+    corpus_path = str(tmp_path / "qc_corpus.parquet")
+    spark.createDataFrame(
+        [(d, t) for d, t, _ in _make_corpus(100, seed=29)],
+        "doc_id string, text string",
+    ).write.parquet(corpus_path)
+
+    out = str(tmp_path / "qc_scored")
+    wpath = str(tmp_path / "weights.json")
+    rc = main([
+        "--seed-set", seed_path, "--input", corpus_path, "--output", out,
+        "--filter", "--weights", wpath,
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert 0 < n < 100                      # filtered: bad half dropped
+    assert got.filter("NOT keep").count() == 0
+    import json as _json
+
+    w = _json.load(open(wpath))
+    assert len(w["weights"]) == 4 and "bias" in w
