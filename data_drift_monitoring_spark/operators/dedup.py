@@ -386,7 +386,8 @@ def lsh_candidate_pairs(
     # unconditional: even without census salting both self-join sides
     # reference this frame, so uncached the banding subplan (including the
     # signature UDF) runs twice; salting adds the census as a third reader
-    banded = banded.persist()
+    banded_cached = banded.persist()
+    banded = banded_cached
     banded = _salt_oversized(banded, ["band", "bh"], "k", max_bucket_size)
 
     left = banded.select("band", "bh", "_salt", F.col("k").alias("a"))
@@ -398,7 +399,7 @@ def lsh_candidate_pairs(
         .dropDuplicates(["a", "b"])
     )
     if not estimate:
-        return pairs
+        return _track_cached(pairs, banded_cached)
     sig_a = sigs.select(
         F.col(key_col).alias("a"), F.col("minhash").alias("sig_a")
     )
@@ -417,7 +418,9 @@ def lsh_candidate_pairs(
         )
         / F.lit(num_hashes)
     )
-    return joined.select("a", "b", est.alias("est_jaccard"))
+    return _track_cached(
+        joined.select("a", "b", est.alias("est_jaccard")), banded_cached
+    )
 
 
 def minhash_lsh_duplicates(
@@ -461,9 +464,13 @@ def minhash_verified_duplicates(
     # whole LSH pipeline; the verification below references it THREE times
     # (two key-union branches + the pair join). localCheckpoint both
     # truncates that lineage and materializes it once.
+    tracked = getattr(cand, "_cached_intermediates", ())
     cand = cand.localCheckpoint(eager=False)
-    return ngram_jaccard(df, cand, key_col, text_col, shingle_k).filter(
-        F.col("jaccard") >= threshold
+    return _track_cached(
+        ngram_jaccard(df, cand, key_col, text_col, shingle_k).filter(
+            F.col("jaccard") >= threshold
+        ),
+        *tracked,
     )
 
 
@@ -549,9 +556,10 @@ def minhash_duplicates_against(
     cap × batch-bucket comparisons."""
     sig_i = minhash_signatures(index, text_col, num_hashes, shingle_k, seed)
     sig_n = minhash_signatures(new, text_col, num_hashes, shingle_k, seed)
-    bi = _band_rows(
+    bi_cached = _band_rows(
         sig_i.select(key_col, "minhash"), key_col, num_hashes, bands
     ).persist()
+    bi = bi_cached
     bn = _band_rows(
         sig_n.select(key_col, "minhash"), key_col, num_hashes, bands
     )
@@ -567,8 +575,11 @@ def minhash_duplicates_against(
     both = index.select(F.col(key_col), F.col(text_col)).unionByName(
         new.select(F.col(key_col), F.col(text_col))
     )
-    return ngram_jaccard(both, cand, key_col, text_col, shingle_k).filter(
-        F.col("jaccard") >= threshold
+    return _track_cached(
+        ngram_jaccard(both, cand, key_col, text_col, shingle_k).filter(
+            F.col("jaccard") >= threshold
+        ),
+        bi_cached,
     )
 
 
@@ -665,6 +676,28 @@ def portable_word_hash(w):
     return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint")
 
 
+def _track_cached(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Record persisted intermediates on the returned DataFrame (same
+    contract as plans.pipeline: callers that materialize the result in a
+    long-lived session pass it to :func:`release_cached`, else the SQL
+    CacheManager grows per call)."""
+    existing = tuple(getattr(result, "_cached_intermediates", ()))
+    result._cached_intermediates = existing + frames
+    return result
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist the intermediates a dedup operator cached for ``df``.
+    Call after materializing the result (written / collected); safe to
+    call twice. Mirrors ``plans.pipeline.release_cached``."""
+    for c in getattr(df, "_cached_intermediates", ()):
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+    df._cached_intermediates = ()
+
+
 def simhash(df: DataFrame, text_col: str = "text", word_hash=None) -> DataFrame:
     """Add a 64-bit ``simhash`` column. Word hashes are computed JVM-side
     (xxhash64 per word by default; pass ``word_hash`` e.g.
@@ -741,7 +774,8 @@ def simhash_hamming_duplicates(
     # this frame — uncached, the SimHash Arrow UDF (the expensive stage)
     # is re-evaluated once per reference (3x, plan-verified). ~28 B x
     # (k+1) rows/doc, same tradeoff as the MinHash banded cache above.
-    banded = banded.persist()
+    banded_cached = banded.persist()
+    banded = banded_cached
     banded = _salt_oversized(banded, ["t", "bv"], "k", max_bucket_size)
     a = banded.select(
         "t", "bv", "_salt",
@@ -751,7 +785,7 @@ def simhash_hamming_duplicates(
         "t", "bv", "_salt",
         F.col("k").alias("b"), F.col("simhash").alias("_sb"),
     )
-    return (
+    return _track_cached(
         a.join(b, on=["t", "bv", "_salt"])
         .filter(F.col("a") < F.col("b"))
         .select(
@@ -761,7 +795,8 @@ def simhash_hamming_duplicates(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= k)
-        .distinct()
+        .distinct(),
+        banded_cached,
     )
 
 
@@ -809,7 +844,8 @@ def embedding_near_duplicates(
     # persist: census + both self-join sides otherwise each re-run the
     # codes matmul UDF over every vector (3x, plan-verified); the cached
     # frame is (key, t, code) ~20 B x tables/vector.
-    banded = banded.persist()
+    banded_cached = banded.persist()
+    banded = banded_cached
     banded = _salt_oversized(banded, ["t", "code"], "k", max_bucket_size)
     a = banded.select("t", "code", "_salt", F.col("k").alias("a"))
     b = banded.select("t", "code", "_salt", F.col("k").alias("b"))
@@ -819,7 +855,7 @@ def embedding_near_duplicates(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    return _cosine_verify(d, pairs, threshold)
+    return _track_cached(_cosine_verify(d, pairs, threshold), banded_cached)
 
 
 def _hyperplane_banded(
@@ -925,7 +961,8 @@ def embedding_near_duplicates_against(
         )
     di = index.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
     dn_ = new.select(F.col(key_col).alias("k"), F.col(vec_col).alias("v"))
-    bi = _hyperplane_banded(di, planes, tables, seed, dim).persist()
+    bi_cached = _hyperplane_banded(di, planes, tables, seed, dim).persist()
+    bi = bi_cached
     bn = _hyperplane_banded(dn_, planes, tables, seed, dim)
     bi, bn = _cross_salt(bi, bn, ["t", "code"], "a", "b", max_bucket_size)
     cand = (
@@ -934,7 +971,9 @@ def embedding_near_duplicates_against(
         .dropDuplicates(["a", "b"])
         .localCheckpoint(eager=False)
     )
-    return _cosine_verify(di.unionByName(dn_), cand, threshold)
+    return _track_cached(
+        _cosine_verify(di.unionByName(dn_), cand, threshold), bi_cached
+    )
 
 
 def duplicate_clusters(

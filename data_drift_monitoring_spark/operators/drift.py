@@ -408,7 +408,11 @@ def token_unigram_histogram(
         .select(
             *keys,
             F.lit(name).alias("col"),
-            F.lpad(F.col("tok").cast("string"), 8, "0").alias("bin"),
+            # width 10 covers every int32 id (2147483646): Spark lpad
+            # TRUNCATES strings longer than the pad width, so 8 would
+            # silently merge distinct ids >= 10^8 into shared bins at
+            # realistic vocab sizes (tokenize_words defaults to 2^31-1)
+            F.lpad(F.col("tok").cast("string"), 10, "0").alias("bin"),
             "cnt",
         )
     )

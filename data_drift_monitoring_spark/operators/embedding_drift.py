@@ -72,9 +72,16 @@ def embedding_drift(
         F.col("var_cur") / F.col("n_cur") + F.col("var_ref") / F.col("n_ref")
     )
     z = F.when(se > 0, (F.col("mean_cur") - F.col("mean_ref")) / se)
-    drifted = F.when(
-        se > 0, (F.abs(z) >= F.lit(z_threshold)).cast("int")
-    ).otherwise((F.col("mean_cur") != F.col("mean_ref")).cast("int"))
+    # a dim present on only one side (outer join: encoder/dimensionality
+    # change) is definitionally drifted — without the explicit clause
+    # every comparison below is NULL and the summary's sum() would
+    # silently count ZERO drift for a blatant 512->768 encoder swap
+    one_sided = F.col("n_cur").isNull() | F.col("n_ref").isNull()
+    drifted = (
+        F.when(one_sided, F.lit(1))
+        .when(se > 0, (F.abs(z) >= F.lit(z_threshold)).cast("int"))
+        .otherwise((F.col("mean_cur") != F.col("mean_ref")).cast("int"))
+    )
     return j.select(
         "dim",
         "n_cur",

@@ -50,6 +50,18 @@ def _bucketed_cumsum(
     sums → broadcast running offsets → window cumsum within (part,
     bucket). One extra tiny aggregate + one broadcast join buys a
     per-task sort bounded by the bucket width."""
+    # the range bucketing needs NUMERIC order keys: for strings,
+    # int(lo) would crash outright — or worse, numeric-looking string
+    # ids would bucket numerically while the within-bucket window sorts
+    # lexicographically, silently producing a DIFFERENT layout than the
+    # prefix_buckets=None path. Fail loudly instead.
+    order_dt = df.schema[order_col].dataType.simpleString()
+    if order_dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"prefix_buckets requires an integral order column; "
+            f"{order_col!r} is {order_dt} — use prefix_buckets=None "
+            "(plain window path) for non-numeric keys"
+        )
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).collect()[0]
@@ -77,8 +89,17 @@ def _bucketed_cumsum(
         offsets.append((p, r["__p_bucket"], running.get(p, 0)))
         running[p] = running.get(p, 0) + r["__p_sum"]
     spark = df.sparkSession
+    from pyspark.sql.types import LongType, StructField, StructType
+
     off_df = spark.createDataFrame(
-        offsets, f"{part_col} string, __p_bucket long, __p_offset long"
+        offsets,
+        StructType(
+            [
+                StructField(part_col, df.schema[part_col].dataType),
+                StructField("__p_bucket", LongType()),
+                StructField("__p_offset", LongType()),
+            ]
+        ),
     )
     w = (
         Window.partitionBy(part_col, "__p_bucket")

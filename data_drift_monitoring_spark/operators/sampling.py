@@ -119,8 +119,20 @@ def stratified_sample(
     thresholds = [
         (s, int(r * SAMPLE_DENOM)) for s, r in sorted(rates.items())
     ]
+    # build the rate table with the corpus column's OWN dtype — a
+    # hardcoded string schema would make the equi-join on an int strata
+    # column match nothing and silently drop every row to default_rate
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    strata_type = df.schema[strata_col].dataType
     rate_df = spark.createDataFrame(
-        thresholds, f"{strata_col} string, _keep_below long"
+        thresholds,
+        StructType(
+            [
+                StructField(strata_col, strata_type),
+                StructField("_keep_below", LongType()),
+            ]
+        ),
     )
     default_below = int(default_rate * SAMPLE_DENOM)
     return (

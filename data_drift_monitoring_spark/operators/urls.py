@@ -22,9 +22,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s]*)?"
+# the host must START and END alphanumeric: with '.'/'-' allowed at the
+# edge, a sentence-terminating period after a bare URL ("see
+# https://spam.example.") would be absorbed into the host, and the
+# extracted domain 'spam.example.' would sail past a blocklist entry
+# 'spam.example'
+_HOST = r"[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
+URL_PATTERN = rf"https?://{_HOST}(?::\d+)?(?:/[^\s]*)?"
 # capture group 1 = host; strips scheme / port / path
-HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+HOST_PATTERN = rf"https?://({_HOST})"
 
 
 def with_urls(

@@ -102,9 +102,11 @@ def start_curation(
     ``span_duplicate``, and the surviving docs' distinct grams append to
     the index. The index is 8-byte gram rows — compact, but the probe
     re-reads it per batch; at deploy scale keep it bucketed (or in
-    Iceberg with a bloom) so the join prunes. Replayed batches after a
-    checkpoint resume may re-append grams; the probe deduplicates at
-    read time (``distinct()``), so membership semantics are unaffected.
+    Iceberg with a bloom) so the join prunes. All three sinks (curated,
+    quarantine, gram index) write per-batch partitions with dynamic
+    overwrite, so a checkpoint replay rewrites batch N's partitions
+    instead of appending duplicates, and the probe reads only strictly
+    prior batches so a replayed batch never matches its own grams.
     Within-batch duplicates are intentionally NOT dropped here (batch
     policy, same as the _against operator contract)."""
     stream = (
@@ -120,7 +122,17 @@ def start_curation(
             from pyspark.errors import AnalysisException
 
             try:
-                idx = spark.read.parquet(span_index_dir).select("gram").distinct()
+                # probe STRICTLY PRIOR batches: after a crash between the
+                # index write and the checkpoint commit, the replay of
+                # batch N finds its own grams already in the index — an
+                # unfiltered probe would then quarantine the whole batch
+                # as a duplicate of itself
+                idx = (
+                    spark.read.parquet(span_index_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("gram")
+                    .distinct()
+                )
             except AnalysisException:  # first batch: no index yet; any
                 # other failure (corrupt index, permissions) must raise —
                 # silently treating it as empty would skip dedup quietly
@@ -144,17 +156,30 @@ def start_curation(
                 )
                 .select("gram")
                 .distinct()
-                .write.mode("append")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(span_index_dir)
             )
+        # idempotent per-batch sink: dynamic overwrite replaces ONLY the
+        # batch_id=<N> partition, so a checkpoint replay of batch N
+        # rewrites the same rows instead of appending duplicates — this
+        # is what makes the docstring's exactly-once claim true (a plain
+        # append would double rows whenever a crash lands between the
+        # sink write and the checkpoint commit)
         (
             curated.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(curated_dir)
         )
         (
             quarantine.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(quarantine_dir)
         )
 

@@ -86,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
             .filter(F.col("repetition_keep"))
             .select(*orig_cols)
         )
-        df = redact_pii(df, text_col=tc).select(*orig_cols)
+        # out_col=tc replaces the text IN PLACE — the default would write
+        # a '<text>_redacted' column that select(*orig_cols) drops,
+        # silently shipping unredacted text into the shards
+        df = redact_pii(df, text_col=tc, out_col=tc).select(*orig_cols)
         report["after_curate"] = df.count()
 
     df = D.dedup_exact_content(df, args.key_col, text_col=tc)

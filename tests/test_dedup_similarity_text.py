@@ -716,3 +716,20 @@ def test_minhash_duplicates_against(spark):
         ).collect()
     }
     assert salted == out
+
+
+def test_dedup_release_cached(spark, dup_docs):
+    """Long-lived sessions (streaming/service) call dedup per batch: the
+    persisted banded frames must be released on demand instead of
+    accumulating in the SQL CacheManager forever."""
+    from data_drift_monitoring_spark.operators import dedup as D
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs = D.minhash_verified_duplicates(dup_docs, "doc_id", threshold=0.5)
+    pairs.count()
+    cached = getattr(pairs, "_cached_intermediates", ())
+    assert len(cached) >= 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    D.release_cached(pairs)
+    assert getattr(pairs, "_cached_intermediates", ()) == ()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before

@@ -283,3 +283,18 @@ def test_token_unigram_histogram_partitioned(spark):
         (0, "00000006"): 1,
         (1, "00000005"): 1,
     }
+
+
+def test_token_unigram_bins_distinct_at_large_ids(spark):
+    """Regression: lpad width must cover 10-digit int32 ids — width 8
+    truncated 214748364 and 2147483646 into the same bin."""
+    from data_drift_monitoring_spark.operators.drift import (
+        token_unigram_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [214748364, 2147483646, 21474836])],
+        "doc_id string, tokens array<int>",
+    )
+    bins = {r["bin"] for r in token_unigram_histogram(df).collect()}
+    assert bins == {"0214748364", "2147483646", "0021474836"}

@@ -94,3 +94,26 @@ def test_null_vectors_are_skipped(spark):
     got = {r["dim"]: r for r in dim_stats(df).collect()}
     assert got[0]["n"] == 2 and got[0]["mean"] == pytest.approx(2.0)
     assert got[1]["n"] == 2 and got[1]["mean"] == pytest.approx(3.0)
+
+
+def test_dimensionality_change_counts_as_drift(spark):
+    """Regression: dims present on only one side (encoder swap 4 -> 6)
+    left NULL 'drifted' that sum() skipped — zero drift reported."""
+    from data_drift_monitoring_spark.operators.embedding_drift import (
+        embedding_drift,
+        embedding_drift_summary,
+    )
+
+    cur = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]) for i in range(20)],
+        "id long, vec array<double>",
+    )
+    ref = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)],
+        "id long, vec array<double>",
+    )
+    per_dim = embedding_drift(cur, ref, vec_col="vec")
+    extra = {r["dim"]: r["drifted"] for r in per_dim.collect() if r["dim"] >= 4}
+    assert extra == {4: 1, 5: 1}
+    s = embedding_drift_summary(per_dim).collect()[0]
+    assert s["n_drifted"] >= 2

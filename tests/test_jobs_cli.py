@@ -242,6 +242,7 @@ def test_prepare_training_data_cli(spark, tmp_path):
     rows.append(("rep_doc", "spam spam spam spam spam spam spam spam", "web"))
     rows.append(("span_a", f"{shared} plus its own distinct tail words alpha beta", "web"))
     rows.append(("span_b", f"{shared} plus another different ending gamma delta", "web"))
+    rows.append(("pii_doc", base + " contact someone at leak@example.com for more", "web"))
     src = str(tmp_path / "raw.parquet")
     spark.createDataFrame(rows, "doc_id string, text string, source string").write.parquet(src)
 
@@ -263,6 +264,14 @@ def test_prepare_training_data_cli(spark, tmp_path):
         for r in got.filter(F.col("doc_id").isin("span_a", "span_b")).collect()
     }
     assert min(span_toks.values()) < max(span_toks.values())
+    # PII redaction reaches the shards: the email's word-hash token is
+    # absent from pii_doc's tokens, the [EMAIL] placeholder's is present
+    tok_of = lambda w: spark.sql(
+        f"SELECT CAST(pmod(xxhash64('{w}'), 2147483647) AS INT) t"
+    ).collect()[0]["t"]
+    pii_tokens = got.filter("doc_id = 'pii_doc'").collect()[0]["tokens"]
+    assert tok_of("leak@example.com") not in pii_tokens
+    assert tok_of("[email]") in pii_tokens
     for col in ("tokens", "n_tok", "start_tok", "first_window",
                 "n_windows", "shard", "sort_key"):
         assert col in got.columns, col

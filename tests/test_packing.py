@@ -128,3 +128,20 @@ def test_summary(seqs):
 def test_context_len_validation(seqs):
     with pytest.raises(ValueError):
         pack_windows(seqs, 0)
+
+
+def test_bucketed_path_rejects_string_order_keys(spark):
+    """Regression: string order keys crashed int(lo) — or silently
+    diverged from the window path for numeric-looking strings."""
+    import pytest as _pytest
+
+    from data_drift_monitoring_spark.operators.packing import pack_windows
+
+    df = spark.createDataFrame(
+        [("doc-9", 5, "a"), ("doc-10", 7, "a")],
+        "doc_id string, n_tok int, source string",
+    )
+    with _pytest.raises(ValueError, match="integral order column"):
+        pack_windows(df, 8, order_col="doc_id", prefix_buckets=4)
+    # the plain window path still handles string keys
+    assert pack_windows(df, 8, order_col="doc_id").count() == 2

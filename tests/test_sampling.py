@@ -120,3 +120,21 @@ def test_rebalance_mixture_and_determinism(spark, corpus):
     # untargeted strata are dropped
     only_a = rebalance_to_mixture(corpus, {"a": 1.0})
     assert only_a.filter("source = 'b'").count() == 0
+
+
+def test_stratified_sample_int_strata(spark):
+    """Regression: a hardcoded string rate-table schema made int strata
+    join nothing (every row silently fell to default_rate)."""
+    from data_drift_monitoring_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2 + 1) for i in range(2000)], "doc_id long, src_id int"
+    )
+    kept = stratified_sample(
+        df, {1: 1.0, 2: 0.0}, strata_col="src_id", key_col="doc_id"
+    )
+    got = {r.src_id for r in kept.select("src_id").distinct().collect()}
+    assert got == {1}
+    assert kept.count() == 1000

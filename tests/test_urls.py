@@ -83,3 +83,25 @@ def test_no_corpus_shuffle(docs_df):
     )
     assert "Exchange hashpartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_trailing_sentence_period_not_in_host(spark):
+    """Regression: '.' allowed at the host edge absorbed sentence-final
+    periods, so 'spam.example.' missed the blocklist entry."""
+    from data_drift_monitoring_spark.operators.urls import (
+        filter_blocklisted,
+        with_urls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "read this at https://spam.example. and tell me"),
+            (2, "endpoint https://ok.example/path. trailing period in text"),
+        ],
+        "doc_id long, text string",
+    )
+    doms = {r.doc_id: r.domains for r in with_urls(df).collect()}
+    assert doms[1] == ["spam.example"]
+    assert doms[2] == ["ok.example"]
+    kept = filter_blocklisted(df, ["spam.example"])
+    assert {r.doc_id for r in kept.collect()} == {2}
