@@ -279,9 +279,9 @@ def test_token_unigram_histogram_partitioned(spark):
         ).collect()
     }
     assert got == {
-        (0, "00000005"): 2,
-        (0, "00000006"): 1,
-        (1, "00000005"): 1,
+        (0, "0000000005"): 2,
+        (0, "0000000006"): 1,
+        (1, "0000000005"): 1,
     }
 
 
