@@ -443,11 +443,18 @@ def q_span_dedup_summary(spark, sf_dir):
     return _span.span_dedup_summary(seq, k=_SPAN_K, portable=True)
 
 
-_QCLS_ARTIFACT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    ".gate_artifacts",
-    "quality_weights.parquet",
-)
+def _qcls_artifact(sf_dir: str) -> str:
+    """Per-SF weights artifact: the bench runs this query at sf0.1 and a
+    single shared file would let it clobber the sf0.01 seed the driver
+    oracle reads (last-run-wins). Tagging by the sf dir name makes every
+    scale's fit its own file; the oracle pairs with the sf0.01 tag — the
+    scale the driver gate (and scripts/check_correctness.py) runs at."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".gate_artifacts",
+        f"quality_weights_{tag}.parquet",
+    )
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -474,8 +481,9 @@ def q_quality_classifier(spark, sf_dir):
     row = {"b": model.bias}
     for i, (w, mu, s) in enumerate(zip(model.weights, model.mu, model.sigma), 1):
         row[f"w{i}"], row[f"mu{i}"], row[f"s{i}"] = w, mu, s
-    os.makedirs(os.path.dirname(_QCLS_ARTIFACT), exist_ok=True)
-    pq.write_table(pa.table({k: [v] for k, v in sorted(row.items())}), _QCLS_ARTIFACT)
+    artifact = _qcls_artifact(sf_dir)
+    os.makedirs(os.path.dirname(artifact), exist_ok=True)
+    pq.write_table(pa.table({k: [v] for k, v in sorted(row.items())}), artifact)
     scored = _qc.score_quality(d, model)
     return _qc.classifier_report(scored, "label", "source")
 
@@ -1814,7 +1822,8 @@ def oracle_sql() -> dict[str, str]:
         "q_span_dedup_summary": _span_dedup_oracle(summary=True),
         "q_span_dedup_against": _span_dedup_against_oracle(),
         "q_quality_classifier": f"""
-            WITH wt AS (SELECT * FROM read_parquet('{_QCLS_ARTIFACT}')),
+            WITH wt AS (SELECT * FROM
+              read_parquet('{_qcls_artifact("/root/testdata/sf0.01")}')),
             d AS (
               SELECT source,
                      CAST(n_chars > 300 AS INT) AS label,
