@@ -1003,6 +1003,10 @@ def q_url_blocklist(spark, sf_dir):
                 F.col("doc_id") % 15 == 0,
                 F.lit(" alt http://Sub.Example.COM:8080/path"),
             ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 21 == 0,
+                F.lit(" via https://cdn.spam.bad-site.org/asset.js"),
+            ).otherwise(F.lit("")),
         ),
     )
     bl = ["spam.bad-site.org"]
@@ -3262,6 +3266,9 @@ def _url_blocklist_oracle() -> str:
                  ELSE '' END ||
             CASE WHEN doc_id % 15 = 0
                  THEN ' alt http://Sub.Example.COM:8080/path'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 21 = 0
+                 THEN ' via https://cdn.spam.bad-site.org/asset.js'
                  ELSE '' END AS text2
           FROM documents
         ),
@@ -3272,12 +3279,15 @@ def _url_blocklist_oracle() -> str:
         ),
         d2 AS (
           SELECT doc_id, source, len(urls) AS n_urls,
+                 -- domain semantics: exact host OR dot-suffix match
                  len(list_filter(
                    list_distinct(list_transform(
                      urls,
                      x -> lower(regexp_extract(x, '{HOST_PATTERN}', 1))
                    )),
-                   x -> x IN ('spam.bad-site.org'))) > 0 AS blocked
+                   x -> x = 'spam.bad-site.org'
+                        OR ends_with(x, '.spam.bad-site.org')
+                 )) > 0 AS blocked
           FROM u
         )
         SELECT source,

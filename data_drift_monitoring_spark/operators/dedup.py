@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
+from ._tokenize import expr_words
 from .similarity import vec_matrix
 
 # Mersenne prime 2^31-1: universal hashing a*x+b mod p. The 31-bit field
@@ -189,13 +190,12 @@ def _doc_shingle_hashes(
     import pandas.util as pdu
 
     n = len(texts)
-    words = (
-        texts.fillna("")
-        .str.lower()
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
-        .str.split(" ")
-    )
+    # expr-convention mirror of _with_shingles (no trim there): ASCII
+    # \s class only, never pandas' Unicode-aware strip/\s — keeps the
+    # Arrow and expression shingle word sets identical on texts with
+    # edge/Unicode whitespace (round-3 ADVICE on repetition.py; same
+    # divergence class here).
+    words = expr_words(texts, trim=False)
     lens = words.str.len().to_numpy(dtype=np.int64)
     flat = np.array([w for ws in words for w in ws], dtype=object)
     hw = pdu.hash_array(flat).astype(np.uint64)
@@ -466,11 +466,15 @@ def minhash_verified_duplicates(
     # truncates that lineage and materializes it once.
     tracked = getattr(cand, "_cached_intermediates", ())
     cand = cand.localCheckpoint(eager=False)
+    # the checkpointed frame itself must be tracked too: its RDD stays
+    # persistent until driver-side GC otherwise, so release_cached left
+    # one RDD behind (flaky leak seen in test_dedup_release_cached)
     return _track_cached(
         ngram_jaccard(df, cand, key_col, text_col, shingle_k).filter(
             F.col("jaccard") >= threshold
         ),
         *tracked,
+        cand,
     )
 
 

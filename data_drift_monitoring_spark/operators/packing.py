@@ -145,11 +145,15 @@ def pack_windows(
         cum = df.withColumn(
             "__p_end", F.sum(F.col(n_tok_col).cast("long")).over(w)
         )
-    c = F.lit(context_len)
+    # Integer DIV, not floor(double division): token offsets past 2^53
+    # per stream would lose precision through the double and misassign
+    # windows — _bucketed_cumsum already uses DIV for the same reason
+    # (offsets are non-negative, so DIV == floor here).
     start = F.col("__p_end") - F.col(n_tok_col).cast("long")
-    first = F.floor(start / c)
+    first = F.expr(f"start_tok DIV {int(context_len)}")
     last = F.when(
-        F.col(n_tok_col) > 0, F.floor((F.col("__p_end") - 1) / c)
+        F.col(n_tok_col) > 0,
+        F.expr(f"(__p_end - 1) DIV {int(context_len)}"),
     ).otherwise(first)
     return (
         cum.withColumn("start_tok", start)
@@ -213,21 +217,22 @@ def packing_summary(
     """Per-stream packing efficiency: docs, tokens, windows used
     (= ceil(total/C)), docs split across a window boundary, and the fill
     ratio of the final partial window."""
-    c = F.lit(context_len)
+    # Integer ceil ((t + c - 1) DIV c), never ceil(double division):
+    # stream token totals past 2^53 would round through the double
+    # (same hazard as pack_windows' window ids).
+    c = int(context_len)
+    total = F.sum(F.col(n_tok_col).cast("long"))
+    n_win = F.expr(
+        f"(sum(cast({n_tok_col} as bigint)) + {c - 1}) DIV {c}"
+    )
     return packed.groupBy(part_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col(n_tok_col).cast("long")).alias("total_tokens"),
-        F.ceil(
-            F.sum(F.col(n_tok_col).cast("long")) / c
-        ).alias("n_windows"),
+        total.alias("total_tokens"),
+        n_win.alias("n_windows"),
         F.sum(
             (F.col("last_window") > F.col("first_window")).cast("long")
         ).alias("n_boundary_docs"),
-        F.when(
-            F.sum(F.col(n_tok_col).cast("long")) > 0,
-            F.sum(F.col(n_tok_col).cast("long"))
-            - (F.ceil(F.sum(F.col(n_tok_col).cast("long")) / c) - 1) * c,
-        )
+        F.when(total > 0, total - (n_win - 1) * F.lit(c).cast("long"))
         .otherwise(F.lit(0))
         .alias("last_window_fill"),
     )

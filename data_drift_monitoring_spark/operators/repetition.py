@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ._tokenize import expr_words
+
 # Thresholds from Gopher §A1.1 (dup-line/word fractions) adapted to the
 # word-level signals computed here.
 DEFAULT_THRESHOLDS = {
@@ -124,13 +126,10 @@ def _counts_arrow_udf():
     @pandas_udf("array<int>")
     def _sig(texts: pd.Series) -> pd.Series:
         n = len(texts)
-        words = (
-            texts.fillna("")
-            .str.lower()
-            .str.replace(r"\s+", " ", regex=True)
-            .str.strip()
-            .str.split(" ")
-        )
+        # expr-convention mirror: trim spaces only, ASCII \s class —
+        # pandas' .str.strip()/Unicode \s drop trailing '\n' words the
+        # expression path and the DuckDB oracles keep (round-3 ADVICE).
+        words = expr_words(texts, trim=True)
         lens = words.str.len().to_numpy(dtype=np.int64)
         flat = np.array(
             [w for ws in words for w in ws], dtype=object

@@ -143,8 +143,13 @@ def start_curation(
                 & (F.col("covered_tokens") >= span_drop_at * F.col("n_tok"))
             ).select("doc_id")
             base_cols = [c for c in quarantine.columns if c != "quarantine_reason"]
+            # quarantine carries the RAW text for every reason: curated's
+            # text col is already the redacted copy at this point, so
+            # restore text_raw before the union or the table would mix
+            # raw (repetition/blocklist) and redacted (span) contents
             dropped = (
                 curated.join(dup_ids, "doc_id")
+                .withColumn(text_col, F.col(f"{text_col}_raw"))
                 .select(*base_cols)
                 .withColumn("quarantine_reason", F.lit("span_duplicate"))
             )

@@ -145,3 +145,29 @@ def test_bucketed_path_rejects_string_order_keys(spark):
         pack_windows(df, 8, order_col="doc_id", prefix_buckets=4)
     # the plain window path still handles string keys
     assert pack_windows(df, 8, order_col="doc_id").count() == 2
+
+
+def test_window_ids_exact_past_double_precision(spark):
+    """Window ids must come from integer DIV: offsets past 2^53 lose
+    precision through floor(double division) and misassign windows
+    (round-3 ADVICE)."""
+    from data_drift_monitoring_spark.operators.packing import (
+        pack_windows,
+        packing_summary,
+    )
+
+    big = (1 << 60) + 3  # not representable exactly as a double
+    df = spark.createDataFrame(
+        [(1, big, "s"), (2, 11, "s")],
+        "doc_id long, n_tok long, source string",
+    )
+    C = 7
+    rows = {r["doc_id"]: r for r in pack_windows(df, C).collect()}
+    assert rows[1]["first_window"] == 0
+    assert rows[1]["last_window"] == (big - 1) // C
+    assert rows[2]["first_window"] == big // C
+    assert rows[2]["last_window"] == (big + 11 - 1) // C
+    s = packing_summary(pack_windows(df, C), C).collect()[0]
+    total = big + 11
+    assert s["n_windows"] == -(-total // C)
+    assert s["last_window_fill"] == total - (-(-total // C) - 1) * C

@@ -24,11 +24,22 @@ DOCS = [
     (6, "a b c a b c a b c", "s1"),  # repeated trigrams
     (7, "  Mixed   CASE \t words mixed case WORDS  ", "s1"),  # normalize
     (8, "w1 w2 w3 w1 w2 w4 w1 w5", "s0"),  # partial overlap
+    # edge whitespace (round-3 ADVICE): trailing '\n'/'\t' must yield a
+    # trailing empty word (trim strips spaces only; Java \s collapses
+    # the rest to ' '), and NBSP is NOT whitespace under Java \s.
+    (9, "hello\n", "s1"),
+    (10, "tab\tsep\t", "s0"),
+    (11, "nbsp\xa0joined word nbsp\xa0joined", "s1"),
+    (12, " lead\n mid\x0bend \r", "s0"),
 ]
 
 
 def _mirror(text):
-    words = re.sub(r"\s+", " ", (text or "").strip().lower()).split(" ")
+    # expression convention: trim spaces only, then collapse the ASCII
+    # \s class (Java/RE2) — NOT Python's Unicode-aware strip()/\s.
+    words = re.sub(
+        r"[ \t\n\x0b\f\r]+", " ", (text or "").strip(" ").lower()
+    ).split(" ")
     n = len(words)
 
     def grams(k):
@@ -80,8 +91,16 @@ def test_arrow_and_expression_paths_identical(spark):
 
     rng = random.Random(11)
     vocab = [f"w{i}" for i in range(50)]
+    # edge whitespace mixed in (round-3 ADVICE): trailing/leading
+    # '\n'/'\t'/NBSP must tokenize identically on both paths.
+    suffixes = ["", "\n", "\t", " \r", "\xa0tail", "\x0b"]
     rows = [
-        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 120))), "s")
+        (
+            i,
+            " ".join(rng.choices(vocab, k=rng.randint(1, 120)))
+            + rng.choice(suffixes),
+            "s",
+        )
         for i in range(2000)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")

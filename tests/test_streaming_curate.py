@@ -91,7 +91,7 @@ def test_stream_incremental_span_dedup(spark, tmp_path):
 
     # batch 2: one doc is mostly batch-1 span (drop), one is fresh (keep)
     b2 = [
-        (10, f"{span} with a different short ending", "en", "a", 0),
+        (10, f"{span} mail me a1@b.io now", "en", "a", 0),
         (11, "completely novel text with entirely fresh vocabulary words", "en", "a", 0),
     ]
     spark.createDataFrame(b2, SCHEMA).write.mode("append").parquet(inp)
@@ -105,4 +105,12 @@ def test_stream_incremental_span_dedup(spark, tmp_path):
         for r in spark.read.parquet(quar).collect()
     }
     assert quarantined.get(10) == "span_duplicate"
+    # quarantine text is uniformly RAW for every reason: span rows come
+    # from curated (whose text is already redacted), so the raw copy
+    # must be restored before the union (round-3 ADVICE)
+    quar_text = {
+        r.doc_id: r["text"] for r in spark.read.parquet(quar).collect()
+    }
+    assert "a1@b.io" in quar_text[10]
+    assert "[EMAIL]" not in quar_text[10]
     assert spark.read.parquet(idx).distinct().count() > n_grams_1

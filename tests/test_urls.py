@@ -53,12 +53,21 @@ def test_extraction_matches_re(docs_df):
         assert got[doc_id]["n_urls"] == len(urls)
 
 
+def _blocked(domains, blocklist):
+    # domain semantics: exact host or dot-suffix match
+    return any(
+        d == e or d.endswith("." + e)
+        for d in domains
+        for e in (x.lower() for x in blocklist)
+    )
+
+
 def test_filter_and_report(docs_df):
     kept = {r.doc_id for r in filter_blocklisted(docs_df, BLOCKLIST).collect()}
     blocked_exp = {
         doc_id
         for doc_id, text, _ in DOCS
-        if set(_mirror(text)[1]) & {d.lower() for d in BLOCKLIST}
+        if _blocked(_mirror(text)[1], BLOCKLIST)
     }
     assert kept == {d for d, _, _ in DOCS} - blocked_exp
     assert blocked_exp == {2}
@@ -105,3 +114,21 @@ def test_trailing_sentence_period_not_in_host(spark):
     assert doms[2] == ["ok.example"]
     kept = filter_blocklisted(df, ["spam.example"])
     assert {r.doc_id for r in kept.collect()} == {2}
+
+
+def test_subdomain_suffix_blocking(spark):
+    """A blocklist entry blocks every subdomain of it (round-3 ADVICE:
+    exact-host matching was trivially bypassed by 'www.' variants) —
+    but never a lookalike suffix without the dot boundary."""
+    df = spark.createDataFrame(
+        [
+            (1, "x https://spam.example/a"),
+            (2, "x https://www.spam.example/b"),
+            (3, "x https://a.b.spam.example/c"),
+            (4, "x https://notspam.example/d"),  # no dot boundary
+            (5, "x https://spam.example.evil.net/e"),  # entry not a suffix
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in filter_blocklisted(df, ["spam.example"]).collect()}
+    assert kept == {4, 5}
