@@ -1545,7 +1545,32 @@ def q_seq_pipeline_verdicts(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY ORDER MATTERS: the driver's correctness gate executes only
+    # the FIRST 50 entries per round. With >50 registered queries the
+    # registry must rotate each round so every query gets a driver row
+    # within a round or two: lead with (a) queries that have never had a
+    # driver row, then (b) this round's new queries, then (c) the rest
+    # (driver-green in a prior round, re-checkable any time via
+    # scripts/check_correctness.py --strict).
     return {
+        # (a) driver-unseen through round 3 (were positions 51-66)
+        "q_dup_group_samples": q_dup_group_samples,
+        "q_ann_ivf": q_ann_ivf,
+        "q_report_json": q_report_json,
+        "q_metric_drift": q_metric_drift,
+        "q_minhash_near_dup": q_minhash_near_dup,
+        "q_dedup_against": q_dedup_against,
+        "q_simhash_groups": q_simhash_groups,
+        "q_simhash_hamming": q_simhash_hamming,
+        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "q_embedding_against": q_embedding_against,
+        "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
+        "q_remediation": q_remediation,
+        "q_score_trends": q_score_trends,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_isolation_forest": q_isolation_forest,
+        # (c) driver-green in round 3 (CORRECTNESS_r03.json)
         "q_seq_stats": q_seq_stats,
         "q_len_consistency": q_len_consistency,
         "q_missing_profile": q_missing_profile,
@@ -1596,22 +1621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_pairs_exact": q_embedding_pairs_exact,
         "q_outlier_clip": q_outlier_clip,
         "q_outlier_samples": q_outlier_samples,
-        "q_dup_group_samples": q_dup_group_samples,
-        "q_ann_ivf": q_ann_ivf,
-        "q_report_json": q_report_json,
-        "q_metric_drift": q_metric_drift,
-        "q_minhash_near_dup": q_minhash_near_dup,
-        "q_dedup_against": q_dedup_against,
-        "q_simhash_groups": q_simhash_groups,
-        "q_simhash_hamming": q_simhash_hamming,
-        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "q_embedding_against": q_embedding_against,
-        "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
-        "q_remediation": q_remediation,
-        "q_score_trends": q_score_trends,
-        "q_multimodal_meta": q_multimodal_meta,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_isolation_forest": q_isolation_forest,
     }
 
 
