@@ -96,6 +96,37 @@ class QualityClassifierModel:
     history: list[float] = field(default_factory=list)
 
 
+def _fit_sample_frame(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    max_sample: int,
+    seed: int,
+) -> DataFrame:
+    """The bounded, deterministic, layout-invariant fit sample as a
+    DataFrame (FEATURES + __y), ordered by (row-hash mod, row-hash,
+    values) and limited to ``max_sample``. When the corpus exceeds
+    3×max_sample a hash-Bernoulli pre-thin on the SAME leading mod
+    value runs first — it keeps a strict prefix of the selection order,
+    so the final sample is identical to the unthinned run whenever
+    ≥ max_sample rows fall under the cut (E[rows under cut] =
+    3·max_sample; Chernoff makes a shortfall negligible), while capping
+    the TakeOrdered input at ~3×max_sample rows corpus-wide."""
+    feats = quality_features(df, text_col).select(
+        *FEATURES, F.col(label_col).cast("double").alias("__y")
+    )
+    cols = [F.col(c) for c in (*FEATURES, "__y")]
+    rowhash = F.xxhash64(*cols, F.lit(seed))
+    denom = 1 << 20
+    mod = F.pmod(rowhash, F.lit(denom))
+    cand = feats.dropna()
+    n = df.count()  # column-pruned count of the raw frame (no features)
+    if n > 3 * max_sample:
+        cut = int((3.0 * max_sample / n) * denom)
+        cand = cand.filter(mod < F.lit(cut))
+    return cand.orderBy(mod.asc(), rowhash.asc(), *cols).limit(max_sample)
+
+
 def fit_quality_classifier(
     df: DataFrame,
     label_col: str,
@@ -107,16 +138,26 @@ def fit_quality_classifier(
 ) -> QualityClassifierModel:
     """Full-batch logistic regression on a bounded driver sample.
 
-    Deterministic: the sample is rand(seed)-bounded then lexsorted, so
-    gradient summation order — and therefore every fitted float — is a
-    function of the sampled row multiset, not the partition layout.
-    Features are standardized with the training sample's mean/std
-    (zero-variance features get sigma=1, weight stays ~0).
+    Deterministic AND layout-invariant: rows are ordered by a seeded
+    row-content hash (xxhash64 of the feature/label values — a pure
+    function of the row, unlike ``rand(seed)``/``sample()`` whose
+    per-partition RNG streams change with the partition layout), with
+    the raw values as tie-breakers, then lexsorted driver-side so
+    gradient summation order is a function of the sampled row multiset
+    only. Features are standardized with the training sample's
+    mean/std (zero-variance features get sigma=1, weight stays ~0).
+
+    Driver-merge bound: a bare ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — every task forwards up to k rows and the
+    driver merges ``partitions × k`` candidates, a multi-billion-row
+    driver merge at 100-TB partition counts. A deterministic
+    hash-Bernoulli pre-thin (same row hash, so it selects a superset of
+    the final hash-ordered sample whenever the oversample factor holds)
+    caps the TakeOrdered input at ~3×max_sample rows corpus-wide.
     """
-    feats = quality_features(df, text_col).select(
-        *FEATURES, F.col(label_col).cast("double").alias("__y")
-    )
-    pdf = feats.dropna().orderBy(F.rand(seed)).limit(max_sample).toPandas()
+    pdf = _fit_sample_frame(
+        df, label_col, text_col, max_sample, seed
+    ).toPandas()
     if len(pdf) == 0:
         raise ValueError("no complete rows to fit on")
     m = pdf.to_numpy(dtype=np.float64)

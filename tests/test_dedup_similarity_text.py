@@ -733,3 +733,34 @@ def test_dedup_release_cached(spark, dup_docs):
     D.release_cached(pairs)
     assert getattr(pairs, "_cached_intermediates", ()) == ()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_kmeans_default_sample_is_bounded(spark, embs):
+    """sample_fraction=None derives the fraction from max_sample via a
+    count — bit-identical to passing the derived fraction explicitly,
+    and never the old collect-everything default (round-3 finding #2)."""
+    import numpy as np
+
+    n = embs.count()
+    auto = S.kmeans_centroids(embs, n_cells=4, iters=2, max_sample=40)
+    explicit = S.kmeans_centroids(
+        embs, n_cells=4, iters=2, sample_fraction=min(1.0, 40 / n)
+    )
+    assert np.array_equal(auto, explicit)
+
+
+def test_ivf_topk_caps_driver_side_queries(spark, embs):
+    """Passing an oversized query frame must raise, not silently
+    materialize it on the driver (round-3 finding #3); the collect is
+    limit-pushed so the driver sees at most max_queries+1 rows."""
+    import pytest as _pytest
+
+    cent = S.kmeans_centroids(embs, n_cells=4, iters=2, max_sample=40)
+    index = S.ivf_index(embs, cent)
+    queries = embs.select(F.col("vec_id").alias("query_id"), "embedding")
+    with _pytest.raises(ValueError, match="max_queries"):
+        S.ivf_topk(index, queries, cent, k=3, nprobe=2, max_queries=5)
+    # under the cap it still works
+    small = queries.filter(F.col("query_id") < 3)
+    out = S.ivf_topk(index, small, cent, k=3, nprobe=4, max_queries=5)
+    assert out.count() > 0
