@@ -207,7 +207,9 @@ def run_flagship(spark) -> dict:
     # monitoring deployment and would otherwise swamp the scaling signal
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     sec = float("inf")
+    loads = []
     for _ in range(reps):
+        loads.append(round(os.getloadavg()[0], 2))
         # drop all cached data (incl. the pipeline's internal `prepared`
         # projection) so every rep re-does the full O(rows) work — only
         # JVM/codegen/worker warm-up is amortized, never the computation
@@ -226,22 +228,32 @@ def run_flagship(spark) -> dict:
         "total_tokens": int(total_tokens),
         "rows": BENCH_ROWS,
         "tokens_per_sec": round(total_tokens / sec, 1),
+        # bench hygiene: host load at each rep start makes every number
+        # self-adjudicating (a loaded-host artifact reads as load > ~2
+        # here, not as a design regression)
+        "reps": reps,
+        "loadavg_1m": loads,
     }
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as E
 
     qs = E.queries()
+    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
     out: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # best-of-2: shields against transient host load
+        # host load when this query's reps started: a per-query number
+        # taken under load > ~2 is a host artifact, not a regression
+        loads[name] = round(os.getloadavg()[0], 2)
+        for _ in range(reps):  # best-of-3 default: first rep pays per-query codegen warm-up (measured 3.3 s vs 0.48 s steady on q_token_counts)
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
-    return out
+    return out, loads
 
 
 def main() -> None:
@@ -257,8 +269,9 @@ def main() -> None:
         # warm up the JVM/codegen paths so per-query numbers are steady
         _force(spark.read.parquet(f"{SF_DIR}/nation.parquet"))
         flagship = run_flagship(spark)
-        queries = run_headline(spark)
+        queries, loads = run_headline(spark)
         queries["flagship_pipeline"] = flagship["sec"]
+        loads["flagship_pipeline"] = flagship["loadavg_1m"][0]
         total = round(sum(queries.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
         print(
@@ -273,6 +286,10 @@ def main() -> None:
                     "flagship_total_tokens": flagship["total_tokens"],
                     "flagship_rows": flagship["rows"],
                     "cpus": CPUS,
+                    "headline_reps": int(
+                        os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")
+                    ),
+                    "loadavg_1m_per_query": loads,
                 }
             )
         )
@@ -351,6 +368,8 @@ def run_scaling() -> None:
         "total_tokens": hi["total_tokens"],
         "sec_n": lo["sec"],
         "sec_4n": hi["sec"],
+        "loadavg_1m_n": lo.get("loadavg_1m"),
+        "loadavg_1m_4n": hi.get("loadavg_1m"),
     }
     _write_bench_md(summary)
     print(json.dumps(summary))

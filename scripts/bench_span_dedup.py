@@ -140,6 +140,7 @@ def _run_once(cpus: int, path: str, k: int) -> dict:
         )
         return {
             "cpus": cpus,
+            "loadavg_1m": round(os.getloadavg()[0], 2),
             "sec": round(sec, 2),
             "tokens_total": summary["tokens_total"],
             "tokens_per_sec": round(summary["tokens_total"] / sec, 1),
@@ -161,6 +162,17 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 16)))
     ap.add_argument("--cpus2", type=int, default=0, help="second level for scaling")
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument(
+        "--pin",
+        action="store_true",
+        help="run each level in a subprocess pinned with taskset to "
+        "exactly that many host cores — honest executor-core-budget "
+        "emulation: on a real cluster the Python (mapInPandas) workers "
+        "compete for the executor's cores, but an unpinned local[N] "
+        "lets them ride FREE host cores, flattering small N and "
+        "understating measured N→4N scaling",
+    )
+    ap.add_argument("--single", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     cache = os.path.join(
@@ -178,10 +190,39 @@ def main() -> None:
         gen.stop()
         print(f"# generated corpus in {time.time()-t0:.0f}s", file=sys.stderr)
 
-    out = {"metric": "span_dedup_scale", "docs": args.docs, "k": args.k}
-    runs = [_run_once(args.cpus, cache, args.k)]
+    if args.single:
+        print(json.dumps(_run_once(args.cpus, cache, args.k)))
+        return
+
+    def run_level(cpus: int) -> dict:
+        if not args.pin:
+            return _run_once(cpus, cache, args.k)
+        import subprocess
+
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}",
+            sys.executable, os.path.abspath(__file__),
+            "--docs", str(args.docs), "--cpus", str(cpus),
+            "--k", str(args.k), "--single",
+        ]
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
+        lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(p.stderr[-2000:] + "\n")
+            raise RuntimeError(f"pinned run at {cpus} cores produced no JSON")
+        r = json.loads(lines[-1])
+        r["pinned_cores"] = cpus
+        return r
+
+    out = {
+        "metric": "span_dedup_scale",
+        "docs": args.docs,
+        "k": args.k,
+        "pinned": bool(args.pin),
+    }
+    runs = [run_level(args.cpus)]
     if args.cpus2:
-        runs.append(_run_once(args.cpus2, cache, args.k))
+        runs.append(run_level(args.cpus2))
         lo, hi = sorted(runs, key=lambda r: r["cpus"])
         out["scaling_efficiency"] = round(
             (hi["tokens_per_sec"] / lo["tokens_per_sec"])
