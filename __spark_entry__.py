@@ -1022,6 +1022,143 @@ def q_url_blocklist(spark, sf_dir):
     return rep.join(kept, on="source").orderBy("source")
 
 
+def _curate_planted(spark, sf_dir):
+    """documents with deterministic plantings that make every curation
+    stage fire: a repetition tail (%23), a shared 24-word span on both
+    parities (%40 ∈ {6, 27} — even docs seed the gram index, odd docs
+    must quarantine as span duplicates), a blocklisted URL (%9), and an
+    email (%5==2 — which covers every span victim, so the quarantine
+    raw-text rule is value-pinned: '[EMAIL]' must NOT appear there)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 23 == 0,
+                F.lit(" " + " ".join(["junk"] * 60)),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(40)).isin(6, 27),
+                F.lit(" " + _CURATE_SPAN),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" ref https://spam.bad-site.org/x?y=1"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 2,
+                F.lit(" mail bob.smith@example.com now"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+# the shared boilerplate span: 24 distinct words, no stopword/URL/PII
+# overlap with the other plantings
+_CURATE_SPAN = " ".join(f"boiler{i:02d}" for i in range(24))
+
+
+def _curate_portable_tokens(df):
+    """Portable (md5-based) word tokens of the given frame's text column
+    — same construction as _portable_sequences_view, applied to the
+    CURATED (redacted) text exactly as start_curation tokenizes each
+    micro-batch before the span probe."""
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    return df.select(
+        "doc_id",
+        F.transform(
+            words,
+            lambda w: F.pmod(
+                F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"),
+                F.lit(_PORTABLE_VOCAB),
+            ).cast("int"),
+        ).alias("tokens"),
+    )
+
+
+def q_curate_quarantine(spark, sf_dir):
+    """Batch-executed twin of the streaming curation pipeline
+    (streaming/curate.start_curation): two deterministic micro-batches
+    (doc_id parity), each through repetition → blocklist → PII
+    redaction, batch 0 seeding the cross-batch gram index and batch 1
+    probed against it for span duplicates. Output pins, per
+    (batch, reason ∈ {repetition, blocklist, span_duplicate, curated}):
+    doc counts, exact membership (id sums), and sum of text lengths —
+    the length sum proves quarantine rows carry RAW text for every
+    reason while curated rows carry the redacted copy."""
+    from data_drift_monitoring_spark.operators.span_dedup import (
+        ngram_occurrences,
+        span_dedup_stats_against_grams,
+    )
+    from data_drift_monitoring_spark.streaming.curate import curate_batch
+
+    planted = _curate_planted(spark, sf_dir)
+    bl = ["spam.bad-site.org"]
+    out = []
+    index_grams = None
+    for b in (0, 1):
+        batch = planted.filter(F.pmod(F.col("doc_id"), F.lit(2)) == b)
+        curated, quar = curate_batch(batch, blocklist=bl)
+        if b == 0:
+            index_grams = (
+                ngram_occurrences(
+                    _curate_portable_tokens(curated),
+                    k=_SPAN_K,
+                    portable=True,
+                )
+                .select("gram")
+                .distinct()
+            )
+        else:
+            stats = span_dedup_stats_against_grams(
+                index_grams,
+                _curate_portable_tokens(curated),
+                k=_SPAN_K,
+                portable=True,
+            )
+            # integer-scaled threshold (covered/n_tok >= 0.18) — exact
+            # in both engines, no float-boundary ambiguity
+            dup_ids = stats.filter(
+                (F.col("n_tok") > 0)
+                & (100 * F.col("covered_tokens") >= 18 * F.col("n_tok"))
+            ).select("doc_id")
+            base_cols = [
+                c for c in quar.columns if c != "quarantine_reason"
+            ]
+            dropped = (
+                curated.join(dup_ids, "doc_id")
+                .withColumn("text", F.col("text_raw"))
+                .select(*base_cols)
+                .withColumn("quarantine_reason", F.lit("span_duplicate"))
+            )
+            quar = quar.unionByName(dropped)
+            curated = curated.join(dup_ids, "doc_id", "left_anti")
+        agg = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        ]
+        out.append(
+            quar.groupBy(
+                F.lit(b).alias("batch_id"),
+                F.col("quarantine_reason").alias("reason"),
+            ).agg(*agg)
+        )
+        out.append(
+            curated.groupBy(
+                F.lit(b).alias("batch_id"),
+                F.lit("curated").alias("reason"),
+            ).agg(*agg)
+        )
+    res = out[0]
+    for f in out[1:]:
+        res = res.unionByName(f)
+    return res.orderBy("batch_id", "reason")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     kept = _dedup.dedup_exact_content(d, "doc_id")
@@ -1544,6 +1681,25 @@ def q_seq_pipeline_verdicts(spark, sf_dir):
     return v.orderBy("part_id", "check", "column")
 
 
+def q_verdict_rollup(spark, sf_dir):
+    """Grouping-sets rollup of the deterministic verdict table — per
+    (part_id, check) subtotals, per-part_id subtotals and the grand
+    total in ONE shuffle via rollup(); the DuckDB oracle recomputes the
+    whole verdict table then GROUP BY ROLLUP. Float-order-safe by
+    construction: counts + max + integer centi-point sums only."""
+    from data_drift_monitoring_spark.plans.pipeline import (
+        build_verdicts,
+        verdict_rollup,
+    )
+
+    seq = _sequences_view(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [(f"src{i}",) for i in range(20)], "source string"
+    )
+    v = build_verdicts(seq, ref_stats=None, allowed_sources=dim)
+    return verdict_rollup(v).orderBy("part_id", "check")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER MATTERS: the driver's correctness gate executes only
     # the FIRST 50 entries per round. With >50 registered queries the
@@ -1570,6 +1726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_dedup_clusters": q_dedup_clusters,
         "q_isolation_forest": q_isolation_forest,
+        # (b) new in round 4
+        "q_curate_quarantine": q_curate_quarantine,
+        "q_verdict_rollup": q_verdict_rollup,
         # (c) driver-green in round 3 (CORRECTNESS_r03.json)
         "q_seq_stats": q_seq_stats,
         "q_len_consistency": q_len_consistency,
@@ -2111,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pii_scan": _pii_scan_oracle(),
         "q_url_blocklist": _url_blocklist_oracle(),
+        "q_curate_quarantine": _curate_quarantine_oracle(),
         "q_mixture_rebalance": """
             WITH n AS (
               SELECT source, COUNT(*) AS n_rows
@@ -2254,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_seq_pipeline_verdicts": _verdicts_oracle("verdicts"),
         "q_report_json": _verdicts_oracle("report"),
+        "q_verdict_rollup": _verdicts_oracle("rollup"),
         "q_remediation": _verdicts_oracle(
             "remediation", seq_sql=_SEQ_CORRUPTED_ORACLE, allowed=10
         ),
@@ -2807,6 +2968,19 @@ def _verdicts_oracle(
             SELECT part_id, "check", "column", value, pct, severity,
                    recommendation, passed
             FROM v ORDER BY part_id, "check", "column" """
+    elif shape == "rollup":
+        select = """
+            SELECT COALESCE(part_id, -1) AS part_id,
+                   COALESCE("check", 'ALL') AS "check",
+                   COUNT(*) AS n_checks,
+                   CAST(SUM(CASE WHEN passed = false THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_failed,
+                   MAX(pct) AS worst_pct,
+                   CAST(SUM(CAST(ROUND(pct * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_pct_centi
+            FROM v
+            GROUP BY ROLLUP(part_id, "check")
+            ORDER BY 1, 2 """
     elif shape == "report":
         select = """
             SELECT 'gate_run' AS run_id, part_id,
@@ -3255,6 +3429,145 @@ def _lang_pred_cte() -> str:
                  END AS lang_pred
           FROM d
         )
+    """
+
+
+def _curate_quarantine_oracle() -> str:
+    """SQL mirror of the full two-batch curation pipeline: planted text,
+    repetition flags (Gopher thresholds), URL blocklist with domain
+    suffix semantics, sequential PII redaction, portable-gram span probe
+    of the odd batch against the even batch's curated gram index, and
+    the per-(batch, reason) count/id-sum/text-length-sum pins."""
+    from data_drift_monitoring_spark.operators.pii import PII_PATTERNS
+    from data_drift_monitoring_spark.operators.urls import (
+        HOST_PATTERN,
+        URL_PATTERN,
+    )
+
+    k = _SPAN_K
+    words = (
+        lambda c: f"string_split(regexp_replace(lower(trim({c})),"
+        f" '\\s+', ' ', 'g'), ' ')"
+    )
+    red = "t"
+    for n, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '[{n.upper()}]', 'g')"
+    rep_tail = " ".join(["junk"] * 60)
+    return f"""
+        WITH p AS (
+          SELECT doc_id, doc_id % 2 AS batch_id, text ||
+            CASE WHEN doc_id % 23 = 0 THEN ' {rep_tail}' ELSE '' END ||
+            CASE WHEN doc_id % 40 IN (6, 27)
+                 THEN ' {_CURATE_SPAN}' ELSE '' END ||
+            CASE WHEN doc_id % 9 = 0
+                 THEN ' ref https://spam.bad-site.org/x?y=1'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 5 = 2
+                 THEN ' mail bob.smith@example.com now'
+                 ELSE '' END AS t
+          FROM documents
+        ),
+        w AS (SELECT doc_id, batch_id, t, {words('t')} AS ws FROM p),
+        u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        tc AS (
+          SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM u GROUP BY 1, 2
+          ) GROUP BY 1
+        ),
+        sig AS (
+          SELECT w.doc_id,
+            (CASE WHEN len(ws) > 0 THEN
+               1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+             ELSE 0.0 END <= 0.50)
+            AND (CASE WHEN len(ws) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+               / (len(ws) - 1)
+             ELSE 0.0 END <= 0.60)
+            AND (CASE WHEN len(ws) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+               ))) AS DOUBLE) / (len(ws) - 2)
+             ELSE 0.0 END <= 0.50)
+            AND (CASE WHEN len(ws) > 0 THEN
+               CAST(tc.top_cnt AS DOUBLE) / len(ws)
+             ELSE 0.0 END <= 0.30) AS rep_keep
+          FROM w JOIN tc ON w.doc_id = tc.doc_id
+        ),
+        blk AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   list_distinct(list_transform(
+                     regexp_extract_all(t, '{URL_PATTERN}'),
+                     x -> lower(regexp_extract(x, '{HOST_PATTERN}', 1))
+                   )),
+                   x -> x = 'spam.bad-site.org'
+                        OR ends_with(x, '.spam.bad-site.org')
+                 )) > 0 AS blocked
+          FROM p
+        ),
+        staged AS (
+          SELECT p.doc_id, p.batch_id, p.t, {red} AS rt,
+                 s.rep_keep, b.blocked
+          FROM p JOIN sig s USING (doc_id) JOIN blk b USING (doc_id)
+        ),
+        cur AS (
+          SELECT doc_id, batch_id, t, rt,
+                 list_transform({words('rt')},
+                   w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT
+                             % {_PORTABLE_VOCAB} AS INT)) AS tokens
+          FROM staged WHERE rep_keep AND NOT blocked
+        ),
+        occ AS (
+          SELECT c.doc_id, c.batch_id, i.i - 1 AS pos,
+                 md5(array_to_string(
+                   c.tokens[i.i : i.i + {k} - 1], ',')) AS gram
+          FROM cur c,
+               LATERAL unnest(
+                 generate_series(1, len(c.tokens) - {k} + 1)) AS i(i)
+          WHERE len(c.tokens) >= {k}
+        ),
+        idx AS (SELECT DISTINCT gram FROM occ WHERE batch_id = 0),
+        removed AS (
+          SELECT o.doc_id, o.pos FROM occ o JOIN idx USING (gram)
+          WHERE o.batch_id = 1
+        ),
+        cov AS (
+          SELECT DISTINCT r.doc_id, x.idx
+          FROM removed r,
+               LATERAL unnest(
+                 generate_series(r.pos, r.pos + {k} - 1)) AS x(idx)
+        ),
+        span_dup AS (
+          SELECT c.doc_id FROM cur c
+          JOIN (SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY 1)
+            v USING (doc_id)
+          WHERE len(c.tokens) > 0 AND 100 * v.covered >= 18 * len(c.tokens)
+        ),
+        rows_out AS (
+          SELECT doc_id, batch_id, 'repetition' AS reason, t AS txt
+          FROM staged WHERE NOT rep_keep
+          UNION ALL
+          SELECT doc_id, batch_id, 'blocklist', t
+          FROM staged WHERE rep_keep AND blocked
+          UNION ALL
+          SELECT doc_id, batch_id, 'span_duplicate', t
+          FROM staged WHERE doc_id IN (SELECT doc_id FROM span_dup)
+          UNION ALL
+          SELECT s.doc_id, s.batch_id, 'curated', s.rt
+          FROM staged s
+          WHERE s.rep_keep AND NOT s.blocked
+            AND s.doc_id NOT IN (SELECT doc_id FROM span_dup)
+        )
+        SELECT batch_id, reason,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(length(txt)) AS BIGINT) AS sum_text_len
+        FROM rows_out
+        GROUP BY batch_id, reason
+        ORDER BY batch_id, reason
     """
 
 

@@ -461,6 +461,40 @@ def score_partitions(
     )
 
 
+def verdict_rollup(verdicts: DataFrame) -> DataFrame:
+    """Second-level rollup of the verdict table (SURVEY §2.4's one
+    previously-unexercised aggregation shape): per (part_id, check)
+    subtotals, per-part_id subtotals, and the grand total in ONE pass
+    via ``rollup()`` — the grouping sets share a single map-side-combined
+    exchange instead of three self-aggregations. Rolled-up key levels
+    surface as part_id = -1 / check = 'ALL' (real part ids are >= 0).
+
+    Aggregate choices are oracle-exact by construction: counts are
+    integers, worst_pct is a max (order-independent), and the pct total
+    is summed in centi-points as int64 — a float sum's result depends on
+    accumulation order and would flip last bits between engines."""
+    failed = F.when(F.col("passed") == False, 1).otherwise(0)  # noqa: E712
+    return (
+        verdicts.rollup("part_id", "check")
+        .agg(
+            F.count(F.lit(1)).alias("n_checks"),
+            F.sum(failed).cast("long").alias("n_failed"),
+            F.max("pct").alias("worst_pct"),
+            F.sum(F.round(F.col("pct") * 100, 0).cast("long")).alias(
+                "sum_pct_centi"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("part_id"), F.lit(-1)).alias("part_id"),
+            F.coalesce(F.col("check"), F.lit("ALL")).alias("check"),
+            "n_checks",
+            "n_failed",
+            "worst_pct",
+            "sum_pct_centi",
+        )
+    )
+
+
 def report_json(verdicts: DataFrame, run_id: str) -> DataFrame:
     """Reference-shaped JSON rollup (S6, quality_check.py:171-174): one JSON
     document per partition."""
