@@ -96,6 +96,19 @@ class QualityClassifierModel:
     history: list[float] = field(default_factory=list)
 
 
+def model_from_dict(d: dict) -> QualityClassifierModel:
+    """Rehydrate a fitted model from the weights artifact the
+    score_quality CLI emits ({features, weights, bias, mu, sigma}) —
+    13 floats, so artifacts are text-diffable and survive any store."""
+    return QualityClassifierModel(
+        weights=[float(x) for x in d["weights"]],
+        bias=float(d["bias"]),
+        mu=[float(x) for x in d["mu"]],
+        sigma=[float(x) for x in d["sigma"]],
+        features=tuple(d.get("features", FEATURES)),
+    )
+
+
 def _fit_sample_frame(
     df: DataFrame,
     label_col: str,

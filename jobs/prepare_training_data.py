@@ -16,6 +16,11 @@ Stages (each skippable; per-stage row/token counts in the JSON report):
 
   1. curate      — Gopher repetition keep-filter + PII redaction
                    (delegates to the filter_corpus operator set)
+  1b. quality    — CCNet-style logistic classifier filter: score with a
+                   weights artifact (--quality-weights, emitted by
+                   jobs/score_quality.py) or fit in-pipeline from a
+                   labeled seed set (--quality-seed-set); scoring is a
+                   zero-shuffle literal-weight projection
   2. exact dedup — keep-first on the normalized-content digest
   3. near dedup  — MinHash+LSH verified pairs -> cluster keep-one
   4. tokenize    — deterministic word-hash tokens (swap for your real
@@ -52,6 +57,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--key-col", default="doc_id")
     ap.add_argument("--no-curate", action="store_true")
+    ap.add_argument(
+        "--quality-weights",
+        default=None,
+        help="fitted-weights JSON (jobs/score_quality.py artifact); "
+        "enables the classifier filter stage",
+    )
+    ap.add_argument(
+        "--quality-seed-set",
+        default=None,
+        help="labeled parquet to fit the classifier in-pipeline "
+        "(ignored when --quality-weights is given)",
+    )
+    ap.add_argument("--quality-label-col", default="label")
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
     ap.add_argument("--no-near-dedup", action="store_true")
     ap.add_argument("--no-span-dedup", action="store_true")
     ap.add_argument("--span-k", type=int, default=16)
@@ -91,6 +110,35 @@ def main(argv: list[str] | None = None) -> int:
         # silently shipping unredacted text into the shards
         df = redact_pii(df, text_col=tc, out_col=tc).select(*orig_cols)
         report["after_curate"] = df.count()
+
+    if args.quality_weights or args.quality_seed_set:
+        from data_drift_monitoring_spark.operators.quality_classifier import (
+            fit_quality_classifier,
+            model_from_dict,
+            score_quality,
+        )
+
+        if args.quality_weights:
+            with open(args.quality_weights) as fh:
+                model = model_from_dict(json.load(fh))
+        else:
+            model = fit_quality_classifier(
+                spark.read.parquet(args.quality_seed_set),
+                args.quality_label_col,
+                text_col=tc,
+            )
+        df = (
+            score_quality(
+                df, model, text_col=tc, threshold=args.quality_threshold
+            )
+            .filter("keep")
+            .select(*orig_cols)
+        )
+        report["after_quality_filter"] = df.count()
+        report["quality_model"] = {
+            "weights": model.weights,
+            "bias": model.bias,
+        }
 
     df = D.dedup_exact_content(df, args.key_col, text_col=tc)
     report["after_exact_dedup"] = df.count()

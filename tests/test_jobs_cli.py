@@ -317,3 +317,79 @@ def test_score_quality_cli(spark, tmp_path):
 
     w = _json.load(open(wpath))
     assert len(w["weights"]) == 4 and "bias" in w
+
+
+def test_prepare_training_data_quality_stage(spark, tmp_path):
+    """The classifier filter stage in the flagship CLI: planted
+    low-quality victims are removed by the QUALITY stage specifically
+    (curation is off, so nothing else can drop them), via both the
+    weights-artifact path and the fit-in-pipeline path, and the rerun
+    is byte-identical."""
+    import json as _json
+
+    from jobs.prepare_training_data import main
+    from data_drift_monitoring_spark.operators import (
+        quality_classifier as QC,
+    )
+    from tests.test_quality_classifier import _make_corpus
+
+    seed_rows = _make_corpus(300, seed=31)
+    seed_df = spark.createDataFrame(
+        seed_rows, "doc_id string, text string, label int"
+    )
+    model = QC.fit_quality_classifier(seed_df, "label", seed=7)
+    wpath = str(tmp_path / "weights.json")
+    with open(wpath, "w") as fh:
+        _json.dump(
+            {
+                "features": list(model.features),
+                "weights": model.weights,
+                "bias": model.bias,
+                "mu": model.mu,
+                "sigma": model.sigma,
+            },
+            fh,
+        )
+
+    good = [
+        (f"good{i:02d}", t, "web")
+        for i, (_, t, lbl) in enumerate(_make_corpus(60, seed=37))
+        if lbl == 1
+    ]
+    junk = [
+        (f"junk{i}", t, "web")
+        for i, (_, t, lbl) in enumerate(_make_corpus(20, seed=41))
+        if lbl == 0
+    ][:3]
+    src = str(tmp_path / "q_raw.parquet")
+    spark.createDataFrame(
+        good + junk, "doc_id string, text string, source string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "q_prepared")
+    common = [
+        "--input", src, "--context-len", "64", "--n-shards", "2",
+        "--span-k", "5", "--no-curate", "--no-near-dedup",
+    ]
+    rc = main(common + ["--output", out, "--quality-weights", wpath])
+    assert rc == 0
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert not any(i.startswith("junk") for i in ids)
+    assert sum(1 for i in ids if i.startswith("good")) >= len(good) - 2
+    # rerun with the same artifact -> byte-identical membership
+    main(common + ["--output", out + "2", "--quality-weights", wpath])
+    a = sorted(
+        (r.doc_id, r.shard, r.n_tok)
+        for r in spark.read.parquet(out).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.n_tok)
+        for r in spark.read.parquet(out + "2").collect()
+    )
+    assert a == b
+    # fit-in-pipeline path removes the same victims
+    seed_path = str(tmp_path / "q_seed.parquet")
+    seed_df.write.parquet(seed_path)
+    main(common + ["--output", out + "3", "--quality-seed-set", seed_path])
+    ids3 = {r.doc_id for r in spark.read.parquet(out + "3").collect()}
+    assert not any(i.startswith("junk") for i in ids3)
