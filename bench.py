@@ -324,6 +324,12 @@ def run_scaling() -> None:
         or os.environ.get("SPARK_GRAFT_SCALE_ROWS", "10000000")
     )
     ref_dir, cur_dir = _ensure_bench_data()
+    # SPARK_GRAFT_SCALE_PIN=1: taskset each level to exactly its core
+    # budget so mapInPandas Python workers compete for the level's cores
+    # (as on a real executor) instead of riding free host cores — the
+    # same honesty fix that moved span dedup's measured N→4N from 0.614
+    # (unpinned artifact) to 0.830 (see BENCH.md)
+    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "") == "1"
     results = {}
     for cpus in pair:
         env = dict(
@@ -331,12 +337,14 @@ def run_scaling() -> None:
             SPARK_GRAFT_CPUS=str(cpus),
             SPARK_GRAFT_BENCH_ROWS=str(BENCH_ROWS),
         )
+        cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"]
+        if pin:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         best = None
         for _ in range(2):
             _warm_page_cache(ref_dir, cur_dir)
             p = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"],
-                env=env, capture_output=True, text=True, timeout=3600,
+                cmd, env=env, capture_output=True, text=True, timeout=3600,
             )
             lines = [
                 ln for ln in p.stdout.strip().splitlines()
@@ -370,6 +378,7 @@ def run_scaling() -> None:
         "sec_4n": hi["sec"],
         "loadavg_1m_n": lo.get("loadavg_1m"),
         "loadavg_1m_4n": hi.get("loadavg_1m"),
+        "pinned": pin,
     }
     _write_bench_md(summary)
     print(json.dumps(summary))
@@ -419,9 +428,12 @@ pre-warmed identically, best of 2 process runs, each run reporting the
 best of 3 in-session steady-state repetitions (cache cleared between reps
 so every rep re-does the full O(rows) work; only one-time JVM codegen /
 Python-worker startup — which any long-running deployment amortizes — is
-excluded).
+excluded).{" Each level runs taskset-PINNED to exactly its core budget, so Python (Arrow UDF) workers compete for the level's cores as they would on a real executor instead of riding free host cores." if s.get("pinned") else ""}
+1-min loadavg at each level's best rep: N = {s.get('loadavg_1m_n')},
+4N = {s.get('loadavg_1m_4n')} (recorded so a loaded-host run
+self-adjudicates).
 
-N=2 is used (not 8) because this single-VM host caps concurrent parquet
+A small N (={n}) is used (not 8) because this single-VM host caps concurrent parquet
 scan throughput at ~2 GB/s regardless of core count (measured: the
 tokens-column decode takes 1.14 s at 8 cores and 0.97 s at 32 on identical
 input, while pure-compute workloads scale near-linearly). On a real

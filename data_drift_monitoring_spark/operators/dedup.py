@@ -584,6 +584,7 @@ def minhash_duplicates_against(
             F.col("jaccard") >= threshold
         ),
         bi_cached,
+        cand,
     )
 
 
@@ -690,15 +691,36 @@ def _track_cached(result: DataFrame, *frames: DataFrame) -> DataFrame:
     return result
 
 
+def _release_one(c: DataFrame) -> None:
+    """Release ONE cached/checkpointed frame's storage. A plain
+    ``DataFrame.unpersist()`` only clears the SQL CacheManager entry —
+    for a localCheckpointed frame the storage belongs to an internal
+    RDD behind a LogicalRDD leaf, which otherwise lives until driver
+    GC collects the plan (measured: ``getPersistentRDDs`` keeps the
+    entry after unpersist()). Unpersisting a checkpointed RDD discards
+    the data irrecoverably (lineage is truncated), so call this only
+    once nothing will read the frame again."""
+    try:
+        c.unpersist()
+    except Exception:
+        pass
+    try:
+        leaves = c._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith(".LogicalRDD"):
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_cached(df: DataFrame) -> None:
-    """Unpersist the intermediates a dedup operator cached for ``df``.
-    Call after materializing the result (written / collected); safe to
-    call twice. Mirrors ``plans.pipeline.release_cached``."""
+    """Unpersist the intermediates a dedup operator cached for ``df``
+    (persisted AND localCheckpointed). Call after materializing the
+    result (written / collected); safe to call twice. Mirrors
+    ``plans.pipeline.release_cached``."""
     for c in getattr(df, "_cached_intermediates", ()):
-        try:
-            c.unpersist()
-        except Exception:
-            pass
+        _release_one(c)
     df._cached_intermediates = ()
 
 
@@ -1035,6 +1057,7 @@ def _star_clusters(e: DataFrame, max_iters: int) -> DataFrame:
     for _ in range(max_iters):
         # large-star: for each node u, attach every LARGER neighbour to
         # the minimum of Γ(u) ∪ {u}
+        prev = edges
         sym = edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
@@ -1049,6 +1072,10 @@ def _star_clusters(e: DataFrame, max_iters: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        # the eager checkpoint above materialized this round from the
+        # previous one — release the stale round NOW instead of letting
+        # O(rounds) checkpoint RDDs pile up until driver GC
+        _release_one(prev)
         # small-star: for each node u, attach u and all its (smaller)
         # neighbours to min(Γ(u) ∪ {u})
         mins = edges.groupBy("a").agg(F.min("b").alias("m"))
@@ -1063,6 +1090,7 @@ def _star_clusters(e: DataFrame, max_iters: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        _release_one(edges)
         edges = new_edges
         # fixed point ⇔ the edge set is a star forest ⇔ no source node is
         # also a target (edges stay oriented a > b throughout, so a star's
@@ -1083,11 +1111,18 @@ def _star_clusters(e: DataFrame, max_iters: int) -> DataFrame:
             f"duplicate_clusters(star) did not converge in {max_iters} "
             "rounds — raise max_iters"
         )
-    return nodes.join(
-        edges.select(F.col("a").alias("k"), F.col("b").alias("_c")),
-        on="k",
-        how="left",
-    ).select("k", F.coalesce(F.col("_c"), F.col("k")).alias("cluster"))
+    # nodes + the final edge set back the result's plan (checkpointed,
+    # so unpersisting early would lose them) — hand them to the caller's
+    # release_cached instead
+    return _track_cached(
+        nodes.join(
+            edges.select(F.col("a").alias("k"), F.col("b").alias("_c")),
+            on="k",
+            how="left",
+        ).select("k", F.coalesce(F.col("_c"), F.col("k")).alias("cluster")),
+        nodes,
+        edges,
+    )
 
 
 def _label_prop_clusters(e: DataFrame, max_iters: int) -> DataFrame:
@@ -1132,6 +1167,7 @@ def _label_prop_clusters(e: DataFrame, max_iters: int) -> DataFrame:
             .limit(1)
             .count()
         )
+        _release_one(labels)  # stale round, nothing reads it again
         labels = new_labels
         if changed == 0:
             converged = True
@@ -1142,7 +1178,11 @@ def _label_prop_clusters(e: DataFrame, max_iters: int) -> DataFrame:
             f"{max_iters} rounds (label propagation advances one hop per "
             "round) — raise max_iters or use algorithm='star'"
         )
-    return labels.select(F.col("k"), F.col("label").alias("cluster"))
+    return _track_cached(
+        labels.select(F.col("k"), F.col("label").alias("cluster")),
+        und,
+        labels,
+    )
 
 
 def dedup_by_clusters(
@@ -1153,9 +1193,13 @@ def dedup_by_clusters(
     """Keep one representative (the minimum key) per near-dup cluster;
     rows not in any pair pass through untouched. The join against the
     (tiny) cluster table is broadcast."""
-    drop = (
-        duplicate_clusters(pairs)
-        .filter(F.col("k") != F.col("cluster"))
-        .select(F.col("k").alias(key_col))
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("k") != F.col("cluster")).select(
+        F.col("k").alias(key_col)
     )
-    return df.join(F.broadcast(drop), on=key_col, how="left_anti")
+    # chained transforms shed the tracking attribute — forward the
+    # cluster pass's checkpointed frames so release_cached reaches them
+    return _track_cached(
+        df.join(F.broadcast(drop), on=key_col, how="left_anti"),
+        *getattr(clusters, "_cached_intermediates", ()),
+    )

@@ -164,6 +164,7 @@ def main() -> None:
         "by_band": by_band,
         **sh,
     }
+    out["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
     spark.stop()
 

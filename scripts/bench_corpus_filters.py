@@ -120,7 +120,7 @@ def _child(cpus: int, rows: int) -> None:
             fn()
             best = min(best, time.time() - t0)
         out[name] = round(best, 3)
-    print(json.dumps({"cpus": cpus, "rows": rows, "sec": out}))
+    print(json.dumps({"cpus": cpus, "rows": rows, "sec": out, "loadavg_1m": round(os.getloadavg()[0], 2)}))
 
 
 def main() -> None:

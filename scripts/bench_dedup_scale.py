@@ -194,6 +194,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / t_pairs),
         **sh,
     }
+    out["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
     spark.stop()
 

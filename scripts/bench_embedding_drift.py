@@ -82,6 +82,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "embedding_drift",
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "n_vecs": int(n_vecs),
         "dim": dim,
         "elements": int(n_vecs) * dim,

@@ -180,6 +180,7 @@ def main() -> None:
         **ann,
         **shuffle_totals(spark),
     }
+    out["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print(json.dumps(out))
     spark.stop()
 

@@ -109,6 +109,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": "streaming_validation",
+                    "loadavg_1m": round(os.getloadavg()[0], 2),
                     "cpus": args.cpus,
                     "backlog_rows": args.rows,
                     "backlog_sec": round(t_backlog, 1),

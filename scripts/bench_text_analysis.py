@@ -89,6 +89,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "text_analysis",
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "n_docs": int(row["n_docs"]),
         "total_words_m": round(row["total_words"] / 1e6, 1),
         "cpus": args.cpus,

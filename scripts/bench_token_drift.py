@@ -48,6 +48,7 @@ def main() -> None:
     total_tokens = int(r["n_cur"]) + int(r["n_ref"])
     print(json.dumps({
         "rows_per_side": ROWS,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "cores": CORES,
         "sec": round(best, 2),
         "total_token_occurrences": total_tokens,

@@ -733,6 +733,17 @@ def test_dedup_release_cached(spark, dup_docs):
     D.release_cached(pairs)
     assert getattr(pairs, "_cached_intermediates", ()) == ()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+    # cluster formation localCheckpoints per star round: stale rounds
+    # release inline, the final frames through release_cached — no RDD
+    # may be left for driver GC to find (the old flake: unpersist() on
+    # a checkpointed frame is a no-op, storage lived until gc)
+    before2 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs2 = D.minhash_verified_duplicates(dup_docs, "doc_id", threshold=0.5)
+    kept = D.dedup_by_clusters(dup_docs, pairs2, "doc_id")
+    kept.count()
+    D.release_cached(kept)
+    D.release_cached(pairs2)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before2
 
 
 def test_kmeans_default_sample_is_bounded(spark, embs):
