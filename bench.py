@@ -111,6 +111,14 @@ def _ensure_bench_data() -> tuple[str, str]:
     return ref_dir, cur_dir
 
 
+def _bench_shuffle_parts(cpus: int, rows: int) -> int:
+    """The shuffle-partition count the flagship subprocess actually uses
+    (also rendered into BENCH.md's config table so the doc can't drift
+    from the code): ~300k rows per partition, floored at 32, capped at
+    4x cores; AQE coalesces the excess for small stages."""
+    return min(max(32, 4 * cpus), max(32, rows // 300_000))
+
+
 def _spark(cpus: int):
     from data_drift_monitoring_spark.session import get_spark
 
@@ -124,9 +132,7 @@ def _spark(cpus: int):
         # small runs (128 partitions for 1M rows) nearly doubles wall time
         # in per-task overhead. ~300k rows per partition, floored at 32,
         # capped at 4x cores; AQE coalesces the excess for small stages.
-        shuffle_partitions=min(
-            max(32, 4 * cpus), max(32, BENCH_ROWS // 300_000)
-        ),
+        shuffle_partitions=_bench_shuffle_parts(cpus, BENCH_ROWS),
         extra_conf={
             # bench files are ~50 MB/part: the default 128 MB
             # maxPartitionBytes bin-packs 2-3 files per task and caps scan
@@ -443,8 +449,8 @@ scaling rather than the sandbox's bus.
 
 | config | wall sec | validated tokens/sec |
 |---|---|---|
-| local[{n}]  (N = {n} cores, shuffle.partitions={max(n, 16)})   | {s['sec_n']} | {s['tokens_per_sec_n']:,} |
-| local[{n4}] (4N = {n4} cores, shuffle.partitions={max(n4, 16)}) | {s['sec_4n']} | {s['tokens_per_sec_4n']:,} |
+| local[{n}]  (N = {n} cores, shuffle.partitions={_bench_shuffle_parts(n, s['rows'])})   | {s['sec_n']} | {s['tokens_per_sec_n']:,} |
+| local[{n4}] (4N = {n4} cores, shuffle.partitions={_bench_shuffle_parts(n4, s['rows'])}) | {s['sec_4n']} | {s['tokens_per_sec_4n']:,} |
 
 - speedup (4N vs N): **{s['speedup']}x**
 - scaling efficiency (speedup / 4): **{s['value']}** (target >= 0.8)
@@ -452,7 +458,8 @@ scaling rather than the sandbox's bus.
 Session config common to both: AQE on (coalescePartitions + skewJoin),
 Arrow enabled, broadcast threshold 64 MB, shuffled-hash joins preferred,
 UTC, `spark.driver.memory=24g`, maxPartitionBytes=32MB (scan splits >=
-core count), shuffle.partitions=max(4*cores,32) (per-task shuffled-hash
+core count), shuffle.partitions=min(max(4*cores,32), rows/300k)
+(per-task shuffled-hash
 build state is bounded by data volume x concurrency, not core count),
 uncompressed columnar cache, and `-XX:ParallelGCThreads=<cores>`
 (without which a local[1] JVM still garbage-collects on all 32 host
