@@ -316,26 +316,30 @@ def _warm_page_cache(*dirs: str) -> None:
 
 def run_scaling() -> None:
     """N vs 4N evidence: same job, same input, local[N] vs local[4N], each
-    in a fresh JVM (default N=2 — the regime below this host's ~2 GB/s
+    in a fresh JVM (default N=1 — the regime below this host's ~2 GB/s
     single-VM scan-bandwidth ceiling; see BENCH.md). Efficiency =
     (tps_4N / tps_N) / 4. Page cache pre-warmed; best of 2 subprocess runs
     per level, each internally best-of-3 steady-state reps."""
     global BENCH_ROWS
-    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
     pair = (n, 4 * n)
-    # scaling needs compute-dominated runs: default to 10M rows (~1.4B
-    # tokens) unless the caller already pinned a size
+    # scaling needs compute-dominated runs: default to the full 40M-row
+    # (~5.7B-token) workload — at 10M rows the per-rep fixed costs
+    # (job scheduling, Arrow batch setup) weigh 4x more on the larger
+    # level and shave ~0.15 off each core-doubling (measured; BENCH.md
+    # "Pinned-ladder context") — unless the caller already pinned a size
     BENCH_ROWS = int(
         os.environ.get("SPARK_GRAFT_BENCH_ROWS")
-        or os.environ.get("SPARK_GRAFT_SCALE_ROWS", "10000000")
+        or os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000")
     )
     ref_dir, cur_dir = _ensure_bench_data()
-    # SPARK_GRAFT_SCALE_PIN=1: taskset each level to exactly its core
-    # budget so mapInPandas Python workers compete for the level's cores
-    # (as on a real executor) instead of riding free host cores — the
-    # same honesty fix that moved span dedup's measured N→4N from 0.614
-    # (unpinned artifact) to 0.830 (see BENCH.md)
-    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "") == "1"
+    # Default ON: taskset each level to exactly its core budget so
+    # mapInPandas Python workers compete for the level's cores (as on a
+    # real executor) instead of riding free host cores — the same
+    # honesty fix that moved span dedup's measured N→4N from 0.614
+    # (unpinned artifact) to 0.830 (see BENCH.md). SPARK_GRAFT_SCALE_PIN=0
+    # disables (e.g. hosts without taskset).
+    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
     results = {}
     for cpus in pair:
         env = dict(
