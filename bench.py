@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -338,8 +339,16 @@ def run_scaling() -> None:
     # real executor) instead of riding free host cores — the same
     # honesty fix that moved span dedup's measured N→4N from 0.614
     # (unpinned artifact) to 0.830 (see BENCH.md). SPARK_GRAFT_SCALE_PIN=0
-    # disables (e.g. hosts without taskset).
+    # disables explicitly; hosts without taskset (e.g. macOS) fall back
+    # to unpinned with a warning rather than failing.
     pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "1") == "1"
+    if pin and shutil.which("taskset") is None:
+        sys.stderr.write(
+            "# taskset not found: falling back to UNPINNED levels — "
+            "Python workers may ride free host cores and inflate the "
+            "measured efficiency (see BENCH.md)\n"
+        )
+        pin = False
     results = {}
     for cpus in pair:
         env = dict(
