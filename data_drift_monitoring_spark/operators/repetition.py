@@ -38,7 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ._tokenize import expr_words
+from ._tokenize import expr_word_hashes
 
 # Thresholds from Gopher §A1.1 (dup-line/word fractions) adapted to the
 # word-level signals computed here.
@@ -91,7 +91,6 @@ def _counts_arrow_udf():
     per doc the per-doc probability is ~1e-12 and the expression path
     (use_arrow=False) is the collision-free mirror, equality-tested on
     fixtures and real corpora."""
-    import pandas.util as pdu
     from pyspark.sql.functions import pandas_udf
 
     M = np.array(
@@ -126,15 +125,11 @@ def _counts_arrow_udf():
     @pandas_udf("array<int>")
     def _sig(texts: pd.Series) -> pd.Series:
         n = len(texts)
-        # expr-convention mirror: trim spaces only, ASCII \s class —
-        # pandas' .str.strip()/Unicode \s drop trailing '\n' words the
-        # expression path and the DuckDB oracles keep (round-3 ADVICE).
-        words = expr_words(texts, trim=True)
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        flat = np.array(
-            [w for ws in words for w in ws], dtype=object
-        )
-        hw = pdu.hash_array(flat).astype(np.uint64)
+        # expr-convention word hashes (trim spaces only, ASCII \s class
+        # — round-3 ADVICE parity) via the shared pyarrow
+        # dictionary-encode path: identical hashes to flattening every
+        # word instance, ~3× faster (see _tokenize.expr_word_hashes).
+        lens, hw = expr_word_hashes(texts, trim=True)
         doc = np.repeat(np.arange(n, dtype=np.int64), lens)
         n_dw, top = _distinct_and_top(doc, hw, n, True)
         out = {"n_words": lens, "n_dw": n_dw, "top": top}
