@@ -62,7 +62,12 @@ def expr_word_hashes(texts: "pd.Series", trim: bool = False):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_pandas(texts.fillna(""))
+    if len(texts) == 0:
+        # an empty object Series converts to a NULL-typed arrow array,
+        # which the string kernels below reject — and Spark does hand
+        # pandas UDFs zero-row batches
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    arr = pa.array(texts.fillna(""), type=pa.string())
     if trim:
         arr = pc.utf8_trim(arr, " ")
     norm = pc.replace_substring_regex(arr, pattern=_ASCII_WS, replacement=" ")

@@ -36,6 +36,54 @@ MIN_OVERLAP = 0.5
 STRIDE = 100          # every 100th base doc becomes a leak source
 
 
+def build_eval(spark, docs, stride, n=None, seed=None):
+    """Deterministic eval set from strided corpus docs, shared by this
+    script AND bench_executor_scaleout.py — the scale-out emulation's
+    ground truth is only comparable to this script's if the two eval
+    sets come from the SAME code path, so keep this the single copy.
+    Returns (eval_df, truth, eval_rows): per-band leak texts (full /
+    mix70 / mix30) built from every ``stride``-th corpus doc plus a
+    same-size clean band; truth maps eval_id -> (band, expected)."""
+    from pyspark.sql import functions as F
+
+    n = N if n is None else n
+    seed = SEED if seed is None else seed
+    src = (
+        docs.filter(F.col("doc_id") % stride == 0)
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 2026]))
+    vocab_size = 50_000
+    bands = ("full", "mix70", "mix30")
+    eval_rows = []     # (eval_id, text)
+    truth = {}         # eval_id -> (band, expected_contaminated)
+    for i, row in src.iterrows():
+        words = row["text"].split(" ")
+        band = bands[i % 3]
+        frac = {"full": 1.0, "mix70": 0.7, "mix30": 0.3}[band]
+        h = max(int(round(frac * len(words))), n)
+        fresh = [
+            f"w{w:05d}"
+            for w in rng.integers(0, vocab_size, size=len(words) - h)
+        ]
+        eid = 10_000_000 + i
+        eval_rows.append((eid, " ".join(words[:h] + fresh)))
+        truth[eid] = (band, band in ("full", "mix70"))
+    n_leaked = len(eval_rows)
+    for i in range(n_leaked):   # same-size clean band
+        L = int(rng.integers(40, 121))
+        eid = 20_000_000 + i
+        eval_rows.append((
+            eid,
+            " ".join(f"w{w:05d}" for w in rng.integers(0, vocab_size, size=L)),
+        ))
+        truth[eid] = ("clean", False)
+    return spark.createDataFrame(eval_rows, ["doc_id", "text"]), truth, eval_rows
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -87,40 +135,7 @@ def main() -> None:
     ).collect()[0]["w"]
 
     # --- deterministic eval set from strided corpus docs ------------------
-    src = (
-        docs.filter(F.col("doc_id") % args.stride == 0)
-        .select("doc_id", "text")
-        .toPandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    rng = np.random.default_rng(np.random.SeedSequence([SEED, 2026]))
-    vocab_size = 50_000
-    bands = ("full", "mix70", "mix30")
-    eval_rows = []     # (eval_id, text)
-    truth = {}         # eval_id -> (band, expected_contaminated)
-    for i, row in src.iterrows():
-        words = row["text"].split(" ")
-        band = bands[i % 3]
-        frac = {"full": 1.0, "mix70": 0.7, "mix30": 0.3}[band]
-        h = max(int(round(frac * len(words))), N)
-        fresh = [
-            f"w{w:05d}"
-            for w in rng.integers(0, vocab_size, size=len(words) - h)
-        ]
-        eid = 10_000_000 + i
-        eval_rows.append((eid, " ".join(words[:h] + fresh)))
-        truth[eid] = (band, band in ("full", "mix70"))
-    n_leaked = len(eval_rows)
-    for i in range(n_leaked):   # same-size clean band
-        L = int(rng.integers(40, 121))
-        eid = 20_000_000 + i
-        eval_rows.append((
-            eid,
-            " ".join(f"w{w:05d}" for w in rng.integers(0, vocab_size, size=L)),
-        ))
-        truth[eid] = ("clean", False)
-    eval_df = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    eval_df, truth, eval_rows = build_eval(spark, docs, args.stride)
 
     # --- the measured run -------------------------------------------------
     t0 = time.time()

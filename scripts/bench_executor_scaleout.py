@@ -25,6 +25,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scripts.bench_contamination_scale import build_eval  # noqa: E402  (single
+# copy of the deterministic eval builder — the emulation is only comparable
+# to the scale bench if both use the same code path)
 STRIDE = 1000
 N = 8
 MIN_OVERLAP = 0.5
@@ -32,45 +35,6 @@ CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".bench_cache", "dedup_corpus_1000000_42",
 )
-
-
-def build_eval(spark, docs):
-    """Deterministic eval set from the FULL corpus — identical in every
-    process regardless of which train half it probes (mirror of
-    bench_contamination_scale.py)."""
-    import numpy as np
-    from pyspark.sql import functions as F
-
-    src = (
-        docs.filter(F.col("doc_id") % STRIDE == 0)
-        .select("doc_id", "text")
-        .toPandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
-    rng = np.random.default_rng(np.random.SeedSequence([42, 2026]))
-    bands = ("full", "mix70", "mix30")
-    rows, truth = [], {}
-    for i, row in src.iterrows():
-        words = row["text"].split(" ")
-        band = bands[i % 3]
-        frac = {"full": 1.0, "mix70": 0.7, "mix30": 0.3}[band]
-        h = max(int(round(frac * len(words))), N)
-        fresh = [
-            f"w{w:05d}" for w in rng.integers(0, 50_000, size=len(words) - h)
-        ]
-        eid = 10_000_000 + i
-        rows.append((eid, " ".join(words[:h] + fresh)))
-        truth[eid] = (band, band in ("full", "mix70"))
-    n_leak = len(rows)
-    for i in range(n_leak):
-        L = int(rng.integers(40, 121))
-        eid = 20_000_000 + i
-        rows.append(
-            (eid, " ".join(f"w{w:05d}" for w in rng.integers(0, 50_000, size=L)))
-        )
-        truth[eid] = ("clean", False)
-    return spark.createDataFrame(rows, ["doc_id", "text"]), truth
 
 
 def probe(cores: int, half: int):
@@ -91,7 +55,7 @@ def probe(cores: int, half: int):
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(CACHE, "docs"))
-    eval_df, truth = build_eval(spark, docs)
+    eval_df, truth, _ = build_eval(spark, docs, STRIDE, n=N)
     train = docs if half < 0 else docs.filter(F.pmod("doc_id", F.lit(2)) == half)
     t0 = time.time()
     rep = contamination_report(
@@ -129,17 +93,35 @@ def launch(half, cpu_list):
             str(half),
         ],
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
         text=True,
     )
 
 
 def last_json(p):
-    out = [ln for ln in p.communicate()[0].splitlines() if ln.startswith("{")]
+    stdout, stderr = p.communicate()
+    out = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+    if p.returncode != 0 or not out:
+        tail = "\n".join(stderr.strip().splitlines()[-15:])
+        raise RuntimeError(
+            f"probe subprocess rc={p.returncode} produced no JSON; "
+            f"stderr tail:\n{tail}"
+        )
     return json.loads(out[-1])
 
 
 def run():
+    import shutil
+
+    # fail fast with a reason instead of burning Topology-A minutes
+    if shutil.which("taskset") is None:
+        sys.exit("taskset not found — this emulation needs pinned cores")
+    if not os.path.exists(os.path.join(CACHE, "docs")):
+        sys.exit(
+            f"corpus cache missing at {CACHE} — run "
+            "scripts/bench_dedup_scale.py (or run_pinned_ladders.sh) "
+            "once to generate it"
+        )
     # Topology A: one 2-core executor, full corpus
     t0 = time.time()
     a = last_json(launch(-1, "0-1"))

@@ -9,6 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-.bench_cache/pinned_ladders.jsonl}
+mkdir -p "$(dirname "$OUT")"
 : > "$OUT"
 run() { # run <cores> <label> <cmd...>
   local cores=$1 label=$2; shift 2
