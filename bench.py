@@ -5,10 +5,13 @@ Default mode: runs the headline queries from ``__spark_entry__`` at
 ``local[$SPARK_GRAFT_CPUS]``, plus the flagship end-to-end validation +
 drift pipeline (the north-star workload: constraint checks + PSI/KS drift
 + per-row token equality over a deterministic synthetic sequences table),
-and prints ONE JSON line::
+and prints the full per-query JSON blob followed by ONE compact JSON
+summary line (the last stdout line — sized to survive the driver's
+2000-char tail capture)::
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {...}, "sf": 0.1, "tokens_per_sec": T, ...}
+     "sf": 0.1, "tokens_per_sec": T, "flagship_sec": S,
+     "n_queries": K, "max_loadavg_1m": L, ...}
 
 ``--scaling`` mode: runs the flagship pipeline in two fresh subprocesses
 at local[8] (N cores) and local[32] (4N cores) over the SAME input and
@@ -281,6 +284,7 @@ def main() -> None:
         loads["flagship_pipeline"] = flagship["loadavg_1m"][0]
         total = round(sum(queries.values()), 3)
         sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
         print(
             json.dumps(
                 {
@@ -288,7 +292,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": queries,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "sf": sf_val,
                     "tokens_per_sec": flagship["tokens_per_sec"],
                     "flagship_total_tokens": flagship["total_tokens"],
                     "flagship_rows": flagship["rows"],
@@ -297,6 +301,26 @@ def main() -> None:
                         os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")
                     ),
                     "loadavg_1m_per_query": loads,
+                }
+            )
+        )
+        # The full blob above exceeds the driver's 2000-char tail capture
+        # (BENCH_r04.json recorded parsed:null for exactly this reason), so
+        # the LAST stdout line is a compact machine-readable summary that
+        # always survives truncation. The full per-query table stays above.
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "tokens_per_sec": flagship["tokens_per_sec"],
+                    "flagship_sec": flagship["sec"],
+                    "n_queries": len(queries),
+                    "max_loadavg_1m": max(loads.values()),
+                    "cpus": CPUS,
+                    "full_table": "previous stdout line",
                 }
             )
         )

@@ -67,7 +67,10 @@ def expr_word_hashes(texts: "pd.Series", trim: bool = False):
         # which the string kernels below reject — and Spark does hand
         # pandas UDFs zero-row batches
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-    arr = pa.array(texts.fillna(""), type=pa.string())
+    # large_string: 64-bit offsets — a pandas-UDF batch whose total text
+    # exceeds 2 GB would raise ArrowCapacityError with plain string's
+    # 32-bit offsets (all kernels below support the large variant)
+    arr = pa.array(texts.fillna(""), type=pa.large_string())
     if trim:
         arr = pc.utf8_trim(arr, " ")
     norm = pc.replace_substring_regex(arr, pattern=_ASCII_WS, replacement=" ")

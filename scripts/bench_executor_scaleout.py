@@ -98,16 +98,27 @@ def launch(half, cpu_list):
     )
 
 
-def last_json(p):
-    stdout, stderr = p.communicate()
-    out = [ln for ln in stdout.splitlines() if ln.startswith("{")]
-    if p.returncode != 0 or not out:
-        tail = "\n".join(stderr.strip().splitlines()[-15:])
-        raise RuntimeError(
-            f"probe subprocess rc={p.returncode} produced no JSON; "
-            f"stderr tail:\n{tail}"
-        )
-    return json.loads(out[-1])
+def last_json(*procs):
+    """Drain ALL given subprocesses concurrently, then parse each one's
+    last JSON line. Sequential communicate() would deadlock: the flags
+    JSON alone is ~50 KB at stride=1000, so a still-running twin fills
+    its ~64 KB pipe buffer and blocks on write while we sit in the first
+    process's communicate()."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(procs)) as ex:
+        outs = list(ex.map(lambda p: p.communicate(), procs))
+    results = []
+    for p, (stdout, stderr) in zip(procs, outs):
+        out = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not out:
+            tail = "\n".join(stderr.strip().splitlines()[-15:])
+            raise RuntimeError(
+                f"probe subprocess rc={p.returncode} produced no JSON; "
+                f"stderr tail:\n{tail}"
+            )
+        results.append(json.loads(out[-1]))
+    return results if len(results) > 1 else results[0]
 
 
 def run():
@@ -129,7 +140,7 @@ def run():
     # Topology B: two 2-core executors, concurrent, half corpus each
     t0 = time.time()
     p0, p1 = launch(0, "0-1"), launch(1, "2-3")
-    r0, r1 = last_json(p0), last_json(p1)
+    r0, r1 = last_json(p0, p1)
     wall_b = time.time() - t0
     # max-combine the halves (the cross-executor aggregation a real
     # cluster would do over the ~8 MB matched-gram exchange)
