@@ -43,13 +43,39 @@ def expr_word_hashes(texts: "pd.Series", trim: bool = False):
     """Per-word 64-bit hashes of ``expr_words(texts, trim)`` WITHOUT
     materializing every word instance as a Python object.
 
-    Returns ``(lens, hw)``: int64 word counts per doc and the uint64
-    ``pandas.util.hash_array`` hash of every (lowered) word instance in
-    document order — bit-identical to
-    ``hash_array(np.array([w for ws in expr_words(t) for w in ws]))``
-    but ~3× faster on corpus text (measured, 200k docs / 16M words):
-    the raw text is whitespace-normalized and split in pyarrow C, the
-    word instances are DICTIONARY-ENCODED, and only the vocabulary is
+    pandas-UDF entry point: converts the object Series back to arrow
+    once and delegates to :func:`expr_word_hashes_arrow` (the zero-copy
+    ``mapInArrow`` paths skip this conversion — and, upstream, skip
+    Spark's arrow→pandas object materialization of every text)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if len(texts) == 0:
+        # an empty object Series converts to a NULL-typed arrow array,
+        # which the string kernels reject — and Spark does hand
+        # pandas UDFs zero-row batches
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    # large_string: 64-bit offsets — a pandas-UDF batch whose total text
+    # exceeds 2 GB would raise ArrowCapacityError with plain string's
+    # 32-bit offsets (all kernels support the large variant)
+    return expr_word_hashes_arrow(
+        pa.array(texts.fillna(""), type=pa.large_string()), trim=trim
+    )
+
+
+def expr_word_hashes_arrow(arr, trim: bool = False):
+    """Arrow-native core of :func:`expr_word_hashes`.
+
+    ``arr`` is a pyarrow ``string``/``large_string`` Array or
+    ChunkedArray (e.g. a column straight off a ``mapInArrow``
+    RecordBatch — zero-copy from Spark's IPC buffers, no Python str
+    objects ever created for the raw text). Returns ``(lens, hw)``:
+    int64 word counts per doc and the uint64 ``pandas.util.hash_array``
+    hash of every (lowered) word instance in document order —
+    bit-identical to
+    ``hash_array(np.array([w for ws in expr_words(t) for w in ws]))``:
+    the text is whitespace-normalized and split in pyarrow C, the word
+    instances are DICTIONARY-ENCODED, and only the vocabulary is
     materialized for Python ``str.lower`` + hashing. Lowering after
     splitting is exact: whitespace is case-invariant (boundaries
     match), and per-word ``str.lower`` sees the same final-sigma /
@@ -62,15 +88,16 @@ def expr_word_hashes(texts: "pd.Series", trim: bool = False):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    if len(texts) == 0:
-        # an empty object Series converts to a NULL-typed arrow array,
-        # which the string kernels below reject — and Spark does hand
-        # pandas UDFs zero-row batches
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
-    # large_string: 64-bit offsets — a pandas-UDF batch whose total text
-    # exceeds 2 GB would raise ArrowCapacityError with plain string's
-    # 32-bit offsets (all kernels below support the large variant)
-    arr = pa.array(texts.fillna(""), type=pa.large_string())
+    # Spark hands mapInArrow batches as 32-bit-offset string unless
+    # useLargeVarTypes; cast up front (offsets-only rewrite) so a >2 GB
+    # flattened batch can't overflow downstream kernels
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    arr = pc.fill_null(arr, "")
     if trim:
         arr = pc.utf8_trim(arr, " ")
     norm = pc.replace_substring_regex(arr, pattern=_ASCII_WS, replacement=" ")

@@ -27,43 +27,78 @@ contamination and near-dup dedup agree on what "the same text" means.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
-from pyspark.sql.functions import pandas_udf
 
 from data_drift_monitoring_spark.operators.dedup import (
-    _doc_shingle_hashes,
+    _doc_shingle_hashes_arrow,
     _mix_constants,
 )
 
 
-def _gram_array_udf(n: int):
-    """Arrow gram path: per-doc array of DISTINCT n-gram hashes in one
-    vectorized pass (shared shingle core with the Arrow MinHash —
-    tokenize once, hash each word once, flat uint64 window mix), then a
-    single lexsort dedupe across the whole batch. Interpreted HOF window
-    evaluation costs ~1 µs per gram; this path is the same ~order-of-
-    magnitude win the Arrow MinHash measured over its expression twin."""
+def _distinct_doc_grams(sh, sdoc, n_docs: int):
+    """Per-doc DISTINCT gram dedupe via one lexsort across the whole
+    batch: (s2 uint64 distinct gram hashes sorted within doc, d2 int64
+    doc index per gram, counts int64 distinct-gram count per doc)."""
+    if len(sh):
+        order = np.lexsort((sh, sdoc))
+        s2, d2 = sh[order], sdoc[order]
+        keep = np.ones(len(s2), dtype=bool)
+        keep[1:] = (d2[1:] != d2[:-1]) | (s2[1:] != s2[:-1])
+        s2, d2 = s2[keep], d2[keep]
+    else:
+        s2 = sh.view(np.uint64)
+        d2 = sdoc
+    counts = np.bincount(d2, minlength=n_docs)
+    return s2, d2, counts
+
+
+def _gram_rows_arrow(
+    df: DataFrame, text_col: str, key_col: str, n: int, side: str
+) -> DataFrame:
+    """Arrow gram path, exploded: one ``mapInArrow`` pass emitting one
+    (<side>_id, n_<side>_grams, g) row per DISTINCT gram per doc.
+
+    Shares the shingle core with the Arrow MinHash (tokenize once, hash
+    each word once, flat uint64 window mix; interpreted HOF window
+    evaluation costs ~1 µs per gram — the expression twin is an
+    order of magnitude slower), then a single lexsort dedupe across the
+    batch. vs the former pandas-UDF + F.size + explode staging: the
+    text column is consumed zero-copy off the Arrow IPC batch (no
+    Python str per doc), the per-doc gram ARRAYS are never built (no
+    Series-of-ndarray → arrow list rebuild), and the explode happens as
+    one flat ``pc.take`` on the key column instead of a JVM generator
+    over a list array. Output rows/values identical (oracle-checked:
+    q_contamination_pairs / q_contamination_report)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     mix = _mix_constants(n)
+    out_schema = T.StructType(
+        [
+            T.StructField(f"{side}_id", df.schema[key_col].dataType),
+            T.StructField(f"n_{side}_grams", T.IntegerType()),
+            T.StructField("g", T.LongType()),
+        ]
+    )
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _ga(texts: pd.Series) -> pd.Series:
-        nd = len(texts)
-        sh, sdoc = _doc_shingle_hashes(texts, n, mix)
-        if len(sh):
-            order = np.lexsort((sh, sdoc))
-            s2, d2 = sh[order], sdoc[order]
-            keep = np.ones(len(s2), dtype=bool)
-            keep[1:] = (d2[1:] != d2[:-1]) | (s2[1:] != s2[:-1])
-            s2, d2 = s2[keep], d2[keep]
-        else:
-            s2 = sh.view(np.uint64)
-            d2 = sdoc
-        counts = np.bincount(d2, minlength=nd)
-        splits = np.split(s2.view(np.int64), np.cumsum(counts)[:-1])
-        return pd.Series([s for s in splits])
+    def gen(batches):
+        for b in batches:
+            nd = b.num_rows
+            if nd == 0:
+                continue
+            sh, sdoc = _doc_shingle_hashes_arrow(b.column(1), n, mix)
+            s2, d2, counts = _distinct_doc_grams(sh, sdoc, nd)
+            idx = pa.array(d2, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(b.column(0), idx),
+                    pa.array(counts[d2].astype(np.int32), type=pa.int32()),
+                    pa.array(s2.view(np.int64), type=pa.int64()),
+                ],
+                names=[f"{side}_id", f"n_{side}_grams", "g"],
+            )
 
-    return _ga
+    return df.select(key_col, text_col).mapInArrow(gen, out_schema)
 
 
 def _gram_table(
@@ -79,8 +114,8 @@ def _gram_table(
     ``array_distinct`` runs per-row (narrow), so downstream counts are
     set-semantics without any distinct shuffle.
 
-    Default ``gram_hash=None`` takes the vectorized Arrow path
-    (:func:`_gram_array_udf`). Pass a string hash (e.g.
+    Default ``gram_hash=None`` takes the vectorized zero-copy Arrow path
+    (:func:`_gram_rows_arrow`). Pass a string hash (e.g.
     ``dedup.portable_word_hash``) for cross-engine-reproducible grams via
     JVM expressions — there the words array is projected as a REAL column
     before the window transform: interpreted HOF lambdas have no common-
@@ -90,9 +125,7 @@ def _gram_table(
     """
     kid = F.col(key_col).alias(f"{side}_id")
     if gram_hash is None:
-        staged = df.select(
-            kid, _gram_array_udf(n)(F.col(text_col)).alias("_gs")
-        )
+        return _gram_rows_arrow(df, text_col, key_col, n, side)
     else:
         words = F.split(
             F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
-from ._tokenize import expr_word_hashes
+from ._tokenize import expr_word_hashes, expr_word_hashes_arrow
 from .similarity import vec_matrix
 
 # Mersenne prime 2^31-1: universal hashing a*x+b mod p. The 31-bit field
@@ -141,24 +141,98 @@ def minhash_signatures(
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _mh(texts: pd.Series) -> pd.Series:
-        n = len(texts)
         sh, sdoc = _doc_shingle_hashes(texts, shingle_k, mix)
-        hm = sh % np.uint64(_MERSENNE)
-        counts = np.bincount(sdoc, minlength=n)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        out = np.full((n, num_hashes), _MERSENNE, dtype=np.int64)
-        nonempty = counts > 0
-        # chunk the hash axis to bound peak memory at (shingles × 16) u64
-        for c0 in range(0, num_hashes, 16):
-            c1 = min(c0 + 16, num_hashes)
-            u = (hm[:, None] * ua[c0:c1] + ub[c0:c1]) % np.uint64(_MERSENNE)
-            if len(hm):
-                mins = np.minimum.reduceat(u, starts, axis=0)
-                out[nonempty, c0:c1] = mins[nonempty].astype(np.int64)
+        out = _minhash_matrix(sh, sdoc, len(texts), ua, ub, num_hashes)
         return pd.Series(list(out))
 
     return df.withColumn("minhash", _mh(F.col(text_col)))
+
+
+def _minhash_matrix(
+    sh: "np.ndarray",
+    sdoc: "np.ndarray",
+    n: int,
+    ua: "np.ndarray",
+    ub: "np.ndarray",
+    num_hashes: int,
+) -> "np.ndarray":
+    """(n, num_hashes) int64 signature matrix from flat per-doc shingle
+    hashes: per hash i, min over shingles of (aᵢ·h + bᵢ mod 2³¹-1) via
+    ONE ``np.minimum.reduceat`` segment-min per hash chunk."""
+    hm = sh % np.uint64(_MERSENNE)
+    counts = np.bincount(sdoc, minlength=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    out = np.full((n, num_hashes), _MERSENNE, dtype=np.int64)
+    nonempty = counts > 0
+    # chunk the hash axis to bound peak memory at (shingles × 16) u64
+    for c0 in range(0, num_hashes, 16):
+        c1 = min(c0 + 16, num_hashes)
+        u = (hm[:, None] * ua[c0:c1] + ub[c0:c1]) % np.uint64(_MERSENNE)
+        if len(hm):
+            mins = np.minimum.reduceat(u, starts, axis=0)
+            out[nonempty, c0:c1] = mins[nonempty].astype(np.int64)
+    return out
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(key_col, minhash) — the signature table every LSH stage actually
+    consumes — via ``mapInArrow`` instead of a pandas UDF.
+
+    Why this beats :func:`minhash_signatures`'s pandas-UDF path on a
+    memory-bandwidth-bound host: the pandas UDF makes Spark materialize
+    every text as a Python str object (one allocation + copy per doc on
+    the arrow→pandas edge) and rebuilds the result list array from a
+    Series of per-row ndarrays; here the text column is consumed
+    ZERO-COPY off the Arrow IPC batch (``expr_word_hashes_arrow``), the
+    key column is forwarded untouched, and the signature list array is
+    assembled from one flat int64 buffer. Signatures are bit-identical
+    to ``minhash_signatures(df, ...)`` for the same seed
+    (tested: test_dedup_similarity_text). Text is deliberately NOT in
+    the output schema, so it is never re-serialized to the JVM."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    ua = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
+    ub = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
+    mix = _mix_constants(shingle_k)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("minhash", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            sh, sdoc = _doc_shingle_hashes_arrow(b.column(1), shingle_k, mix)
+            out = _minhash_matrix(sh, sdoc, n, ua, ub, num_hashes)
+            sig = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * num_hashes, num_hashes),
+                    type=pa.int32(),
+                ),
+                pa.array(out.ravel(), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), sig], names=[key_col, "minhash"]
+            )
+
+    return df.select(key_col, text_col).mapInArrow(gen, out_schema)
 
 
 def _mix_constants(k: int) -> "np.ndarray":
@@ -188,7 +262,6 @@ def _doc_shingle_hashes(
     shorter than k words get ONE shingle over all their words (mirror of
     slice() clamping in the expression variants). Returns (sh uint64
     shingle hashes, sdoc int64 doc index per shingle) sorted by doc."""
-    n = len(texts)
     # expr-convention word hashes (ASCII \s class only, no trim —
     # round-3 ADVICE parity) via the shared pyarrow dictionary-encode
     # path: only the vocabulary is materialized as Python objects,
@@ -197,6 +270,20 @@ def _doc_shingle_hashes(
     # and per-instance object creation were the memory-traffic hot
     # spot the pinned ladders exposed (see _tokenize.expr_word_hashes).
     lens, hw = expr_word_hashes(texts, trim=False)
+    return _shingles_from_word_hashes(lens, hw, len(texts), k, mix)
+
+
+def _doc_shingle_hashes_arrow(arr, k: int, mix: "np.ndarray") -> tuple:
+    """`_doc_shingle_hashes` over a pyarrow string Array/ChunkedArray —
+    the zero-copy ``mapInArrow`` entry point (no pandas object Series
+    ever materialized for the text). Bit-identical output."""
+    lens, hw = expr_word_hashes_arrow(arr, trim=False)
+    return _shingles_from_word_hashes(lens, hw, len(arr), k, mix)
+
+
+def _shingles_from_word_hashes(
+    lens: "np.ndarray", hw: "np.ndarray", n: int, k: int, mix: "np.ndarray"
+) -> tuple:
     doc = np.repeat(np.arange(n, dtype=np.int64), lens)
     with np.errstate(over="ignore"):
         if len(hw) >= k:
@@ -432,7 +519,9 @@ def minhash_lsh_duplicates(
     seed: int = 42,
 ) -> DataFrame:
     """End-to-end near-dup pairs with estimated Jaccard ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signature_table(
+        df, key_col, text_col, num_hashes, shingle_k, seed
+    )
     pairs = lsh_candidate_pairs(sigs, key_col, num_hashes, bands)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
@@ -454,7 +543,9 @@ def minhash_verified_duplicates(
     num_hashes/bands — e.g. 64 hashes / 32 bands gives miss probability
     ≤ (1-J²)^32 ≈ 1e-4 at J = 0.5, while keeping low-similarity pairs out
     of the candidate set. Verification cost is bounded by the candidates."""
-    sigs = minhash_signatures(df, text_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signature_table(
+        df, key_col, text_col, num_hashes, shingle_k, seed
+    )
     cand = lsh_candidate_pairs(
         sigs, key_col, num_hashes, bands, max_bucket_size, estimate=False
     )
@@ -556,15 +647,15 @@ def minhash_duplicates_against(
     and the (small) new side is replicated across the chunks —
     no cross-chunk pairs are lost, each task is bounded at
     cap × batch-bucket comparisons."""
-    sig_i = minhash_signatures(index, text_col, num_hashes, shingle_k, seed)
-    sig_n = minhash_signatures(new, text_col, num_hashes, shingle_k, seed)
-    bi_cached = _band_rows(
-        sig_i.select(key_col, "minhash"), key_col, num_hashes, bands
-    ).persist()
-    bi = bi_cached
-    bn = _band_rows(
-        sig_n.select(key_col, "minhash"), key_col, num_hashes, bands
+    sig_i = minhash_signature_table(
+        index, key_col, text_col, num_hashes, shingle_k, seed
     )
+    sig_n = minhash_signature_table(
+        new, key_col, text_col, num_hashes, shingle_k, seed
+    )
+    bi_cached = _band_rows(sig_i, key_col, num_hashes, bands).persist()
+    bi = bi_cached
+    bn = _band_rows(sig_n, key_col, num_hashes, bands)
 
     bi, bn = _cross_salt(bi, bn, ["band", "bh"], "a", "b", max_bucket_size)
 

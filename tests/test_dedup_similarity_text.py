@@ -775,3 +775,69 @@ def test_ivf_topk_caps_driver_side_queries(spark, embs):
     small = queries.filter(F.col("query_id") < 3)
     out = S.ivf_topk(index, small, cent, k=3, nprobe=4, max_queries=5)
     assert out.count() > 0
+
+
+def test_minhash_signature_table_bit_identical(spark):
+    """The mapInArrow signature table (zero-copy text path) must produce
+    BIT-IDENTICAL signatures to the pandas-UDF arrow impl for the same
+    seed — same hash family, same shingle core, different transport."""
+    rows = [
+        ("d1", "Hello world hello world"),
+        ("d2", ""),
+        ("d3", " "),
+        ("d4", "one"),
+        ("d5", "tab\tsep\tend\t"),
+        ("d6", "x\xa0y nbsp İstanbul ΟΔΟΣ,"),
+        ("d7", None),
+        ("d8", "a b c d e f g h i j k"),
+        ("d9", "a\x0bb\x0cc\rd\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    old = {
+        r["doc_id"]: r["minhash"]
+        for r in D.minhash_signatures(df, "text", 64, 3)
+        .select("doc_id", "minhash")
+        .collect()
+    }
+    new = {
+        r["doc_id"]: r["minhash"]
+        for r in D.minhash_signature_table(df, "doc_id", "text", 64, 3)
+        .collect()
+    }
+    assert old == new
+
+
+def test_gram_rows_arrow_matches_portable_convention(spark):
+    """_gram_rows_arrow (mapInArrow exploded path) must agree with the
+    portable expression path on per-doc DISTINCT gram COUNTS and on the
+    matched pair set (hash families differ, gram SETS must not)."""
+    from data_drift_monitoring_spark.operators import contamination as C
+
+    rows = [
+        ("a", "one two three four five one two three four five"),
+        ("b", "one two three"),          # shorter than n -> 1 whole gram
+        ("c", ""),                        # empty -> [''] -> 1 gram
+        ("d", "x\ty z\n"),
+        ("e", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    arrow = {
+        (r["eval_id"], r["n_eval_grams"])
+        for r in C._gram_table(df, "text", "doc_id", 4, None, "eval")
+        .select("eval_id", "n_eval_grams")
+        .distinct()
+        .collect()
+    }
+    expr = {
+        (r["eval_id"], r["n_eval_grams"])
+        for r in C._gram_table(
+            df, "text", "doc_id", 4, D.portable_word_hash, "eval"
+        )
+        .select("eval_id", "n_eval_grams")
+        .distinct()
+        .collect()
+    }
+    assert arrow == expr
+    # row multiplicity: one row per distinct gram per doc
+    n_rows = C._gram_table(df, "text", "doc_id", 4, None, "eval").count()
+    assert n_rows == sum(c for _, c in arrow)

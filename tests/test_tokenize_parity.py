@@ -83,3 +83,30 @@ def test_random_text_parity():
         lens, hw = expr_word_hashes(s, trim=trim)
         assert np.array_equal(lens, lens_ref)
         assert np.array_equal(hw, hw_ref)
+
+
+@pytest.mark.parametrize("trim", [False, True])
+def test_arrow_entry_small_and_large_offsets(trim):
+    """expr_word_hashes_arrow must be bit-identical whether handed
+    32-bit-offset ``string`` (what Spark's mapInArrow produces by
+    default), ``large_string``, a ChunkedArray, or the pandas entry."""
+    import pyarrow as pa
+
+    from data_drift_monitoring_spark.operators._tokenize import (
+        expr_word_hashes_arrow,
+    )
+
+    s = pd.Series(EDGE_TEXTS)
+    lens_ref, hw_ref = _reference(s.fillna(""), trim)
+    for arr in (
+        pa.array(s, type=pa.string()),
+        pa.array(s, type=pa.large_string()),
+        pa.chunked_array([pa.array(s[:5], type=pa.string()),
+                          pa.array(s[5:], type=pa.string())]),
+    ):
+        lens, hw = expr_word_hashes_arrow(arr, trim=trim)
+        assert np.array_equal(lens, lens_ref)
+        assert np.array_equal(hw, hw_ref)
+    # zero-row arrow batch
+    lens0, hw0 = expr_word_hashes_arrow(pa.array([], type=pa.string()), trim)
+    assert len(lens0) == 0 and len(hw0) == 0
