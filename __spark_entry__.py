@@ -1700,36 +1700,222 @@ def q_verdict_rollup(spark, sf_dir):
     return verdict_rollup(v).orderBy("part_id", "check")
 
 
+def _prepare_planted(spark, sf_dir):
+    """Fixture for the end-to-end preparation pipeline: documents
+    doc_id<300 (the proven minhash/cluster oracle universe) with a
+    repetition victim every 23rd doc (60×'junk' tail trips the Gopher
+    dup-word threshold on short docs) and a PII victim every 5th+2
+    (email the redaction stage must rewrite before dedup/tokenize see
+    the text). Exact- and near-dup victims already exist naturally in
+    the synthetic corpus (q_exact_dedup / q_minhash_near_dup find
+    them)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    rep_tail = " ".join(["junk"] * 60)
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 23 == 0, F.lit(" " + rep_tail)
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 2,
+                F.lit(" mail bob.smith@example.com now"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_prepare_training_data(spark, sf_dir):
+    """End-to-end preparation pipeline (jobs/prepare_training_data.py →
+    plans.prepare.prepare_training_stages) under the oracle gate: the
+    planted fixture through curate (repetition keep + PII redact) →
+    exact dedup → MinHash near-dedup keep-one → portable tokenize →
+    span dedup → pack → shard, with one accounting row per stage.
+    Pins per stage: row count, exact membership (id sum), text length
+    (proves redaction), token count + token-id sum (proves the exact
+    surviving token multiset), span coverage, pack offsets/window
+    spans, and the shard assignment — the DuckDB oracle recomputes
+    every stage from scratch, so the whole staged composition is
+    value-checked cross-engine."""
+    from data_drift_monitoring_spark.plans.prepare import (
+        PrepareConfig,
+        prepare_training_stages,
+    )
+
+    cfg = PrepareConfig(
+        context_len=64,
+        n_shards=8,
+        span_k=_SPAN_K,
+        minhash_threshold=0.5,
+        num_hashes=64,
+        bands=32,
+        vocab=_PORTABLE_VOCAB,
+        seed=0,
+        portable=True,
+    )
+    st = prepare_training_stages(_prepare_planted(spark, sf_dir), cfg)
+
+    null_l = F.lit(None).cast("long")
+    tok_sum = F.sum(
+        F.aggregate(
+            F.col("tokens"),
+            F.lit(0).cast("long"),
+            lambda a, t: a + t.cast("long"),
+        )
+    ).cast("long")
+
+    def acct(name, frame, text=True, tokens=False, aux1=None, aux2=None):
+        return frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            (F.sum(F.length("text")).cast("long") if text else null_l).alias(
+                "text_len"
+            ),
+            (F.sum("n_tok").cast("long") if tokens else null_l).alias(
+                "n_tok_sum"
+            ),
+            (tok_sum if tokens else null_l).alias("tok_sum"),
+            (aux1 if aux1 is not None else null_l).alias("aux1"),
+            (aux2 if aux2 is not None else null_l).alias("aux2"),
+        ).select(F.lit(name).alias("stage"), "*")
+
+    frames = [
+        acct("1_input", st["input"]),
+        acct("2_curate", st["curate"]),
+        acct("3_exact_dedup", st["exact_dedup"]),
+        acct("4_near_dedup", st["near_dedup"]),
+        acct("5_tokenize", st["tokenize"], tokens=True),
+        acct(
+            "6_span_dedup",
+            st["span_dedup"],
+            tokens=True,
+            aux1=F.sum("covered_tokens").cast("long"),
+        ),
+        acct(
+            "7_pack",
+            st["pack"],
+            tokens=True,
+            aux1=F.sum("start_tok").cast("long"),
+            aux2=F.sum("n_windows").cast("long"),
+        ),
+        acct(
+            "8_shard",
+            st["shard"],
+            aux1=F.sum(
+                F.col("shard").cast("long") * F.col("doc_id").cast("long")
+            ).cast("long"),
+            aux2=F.sum(F.pmod(F.col("sort_key"), F.lit(1000000))).cast(
+                "long"
+            ),
+        ),
+    ]
+    res = frames[0]
+    for f in frames[1:]:
+        res = res.unionByName(f)
+    return res.orderBy("stage")
+
+
+_HISTORY_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".gate_artifacts",
+    "history_wh",
+)
+
+
+def q_check_history(spark, sf_dir):
+    """Per-check metric history across persisted runs
+    (plans.trends.check_history — reference README.md:79 'trending'
+    promise) through the REAL persistence path: two full run_checks
+    executions with injected timestamps (clean view, then the
+    corrupted view that plants duplicates) into a scratch warehouse,
+    then the uniqueness-on-doc_id value trend read back via the
+    manifest run ordering. The oracle recomputes both runs' duplicate
+    counts and the lag/delta/direction window."""
+    import shutil
+    from datetime import datetime, timezone
+
+    from data_drift_monitoring_spark.plans.pipeline import run_checks
+    from data_drift_monitoring_spark.plans.trends import check_history
+    from data_drift_monitoring_spark.sources.tables import ParquetTableIO
+
+    shutil.rmtree(_HISTORY_WAREHOUSE, ignore_errors=True)
+    io = ParquetTableIO(spark, _HISTORY_WAREHOUSE)
+    dim20 = spark.createDataFrame(
+        [(f"src{i}",) for i in range(20)], "source string"
+    )
+    dim10 = spark.createDataFrame(
+        [(s,) for s in ALLOWED_DOC_SOURCES], "source string"
+    )
+    run_checks(
+        spark,
+        _sequences_view(spark, sf_dir),
+        io,
+        run_id="r1",
+        allowed_sources=dim20,
+        now=datetime(2026, 1, 1, tzinfo=timezone.utc),
+    )
+    run_checks(
+        spark,
+        _corrupted_view(spark, sf_dir),
+        io,
+        run_id="r2",
+        allowed_sources=dim10,
+        now=datetime(2026, 1, 2, tzinfo=timezone.utc),
+    )
+    h = check_history(io, "uniqueness", "doc_id")
+    return h.select(
+        "part_id",
+        "column",
+        F.col("run_ts").cast("string").alias("run_ts"),
+        "value",
+        "prev_value",
+        "delta",
+        "direction",
+    ).orderBy("part_id", "run_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRY ORDER MATTERS: the driver's correctness gate executes only
     # the FIRST 50 entries per round. With >50 registered queries the
     # registry must rotate each round so every query gets a driver row
-    # within a round or two: lead with (a) queries that have never had a
-    # driver row, then (b) this round's new queries, then (c) the rest
-    # (driver-green in a prior round, re-checkable any time via
-    # scripts/check_correctness.py --strict).
+    # within a round or two: lead with (a) queries whose last driver row
+    # is oldest (r5: the 18 that sat outside r4's window, r3-green),
+    # then (b) this round's new queries, then (c) queries whose code
+    # paths changed this round (r5: the mapInArrow word-hash rewrite),
+    # then (d) the rest (driver-green in a prior round, re-checkable any
+    # time via scripts/check_correctness.py --strict).
     return {
-        # (a) driver-unseen through round 3 (were positions 51-66)
-        "q_dup_group_samples": q_dup_group_samples,
-        "q_ann_ivf": q_ann_ivf,
-        "q_report_json": q_report_json,
-        "q_metric_drift": q_metric_drift,
+        # (a) outside r4's 50-row window (last driver row: round 3)
+        "q_lang_id": q_lang_id,
+        "q_lang_id_accuracy": q_lang_id_accuracy,
+        "q_repetition_scores": q_repetition_scores,
+        "q_repetition_summary": q_repetition_summary,
+        "q_pack_windows": q_pack_windows,
+        "q_pack_window_stats": q_pack_window_stats,
+        "q_pii_scan": q_pii_scan,
+        "q_mixture_rebalance": q_mixture_rebalance,
+        "q_url_blocklist": q_url_blocklist,
+        "q_csv_roundtrip": q_csv_roundtrip,
+        "q_json_roundtrip": q_json_roundtrip,
+        "q_exact_dedup": q_exact_dedup,
+        "q_fingerprints": q_fingerprints,
+        "q_ngram_jaccard_self": q_ngram_jaccard_self,
+        "q_ann_topk": q_ann_topk,
+        "q_embedding_pairs_exact": q_embedding_pairs_exact,
+        "q_outlier_clip": q_outlier_clip,
+        "q_outlier_samples": q_outlier_samples,
+        # (b) new in round 5
+        "q_prepare_training_data": q_prepare_training_data,
+        "q_check_history": q_check_history,
+        # (c) paths rewritten by the round-5 mapInArrow zero-copy core
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_dedup_against": q_dedup_against,
-        "q_simhash_groups": q_simhash_groups,
-        "q_simhash_hamming": q_simhash_hamming,
-        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "q_embedding_against": q_embedding_against,
-        "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
-        "q_remediation": q_remediation,
-        "q_score_trends": q_score_trends,
-        "q_multimodal_meta": q_multimodal_meta,
         "q_dedup_clusters": q_dedup_clusters,
-        "q_isolation_forest": q_isolation_forest,
-        # (b) new in round 4
-        "q_curate_quarantine": q_curate_quarantine,
-        "q_verdict_rollup": q_verdict_rollup,
-        # (c) driver-green in round 3 (CORRECTNESS_r03.json)
+        "q_contamination_pairs": q_contamination_pairs,
+        "q_contamination_report": q_contamination_report,
+        "q_token_counts": q_token_counts,
+        # (d) driver-green in round 4 (CORRECTNESS_r04.json)
         "q_seq_stats": q_seq_stats,
         "q_len_consistency": q_len_consistency,
         "q_missing_profile": q_missing_profile,
@@ -1754,32 +1940,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shard_layout": q_shard_layout,
         "q_quality_classifier": q_quality_classifier,
         "q_stratified_sample": q_stratified_sample,
-        "q_contamination_pairs": q_contamination_pairs,
-        "q_contamination_report": q_contamination_report,
+        # --- driver window boundary is here (first 50 above) ---
         "q_embedding_dim_drift": q_embedding_dim_drift,
         "q_embedding_drift_summary": q_embedding_drift_summary,
         "q_events_hourly": q_events_hourly,
         "q_corpus_summary": q_corpus_summary,
-        "q_token_counts": q_token_counts,
         "q_quality_scores": q_quality_scores,
-        "q_lang_id": q_lang_id,
-        "q_lang_id_accuracy": q_lang_id_accuracy,
-        "q_repetition_scores": q_repetition_scores,
-        "q_repetition_summary": q_repetition_summary,
-        "q_pack_windows": q_pack_windows,
-        "q_pack_window_stats": q_pack_window_stats,
-        "q_pii_scan": q_pii_scan,
-        "q_mixture_rebalance": q_mixture_rebalance,
-        "q_url_blocklist": q_url_blocklist,
-        "q_csv_roundtrip": q_csv_roundtrip,
-        "q_json_roundtrip": q_json_roundtrip,
-        "q_exact_dedup": q_exact_dedup,
-        "q_fingerprints": q_fingerprints,
-        "q_ngram_jaccard_self": q_ngram_jaccard_self,
-        "q_ann_topk": q_ann_topk,
-        "q_embedding_pairs_exact": q_embedding_pairs_exact,
-        "q_outlier_clip": q_outlier_clip,
-        "q_outlier_samples": q_outlier_samples,
+        "q_dup_group_samples": q_dup_group_samples,
+        "q_ann_ivf": q_ann_ivf,
+        "q_report_json": q_report_json,
+        "q_metric_drift": q_metric_drift,
+        "q_simhash_groups": q_simhash_groups,
+        "q_simhash_hamming": q_simhash_hamming,
+        "q_embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "q_embedding_against": q_embedding_against,
+        "q_seq_pipeline_verdicts": q_seq_pipeline_verdicts,
+        "q_remediation": q_remediation,
+        "q_score_trends": q_score_trends,
+        "q_multimodal_meta": q_multimodal_meta,
+        "q_isolation_forest": q_isolation_forest,
+        "q_curate_quarantine": q_curate_quarantine,
+        "q_verdict_rollup": q_verdict_rollup,
     }
 
 
@@ -2271,6 +2452,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_scan": _pii_scan_oracle(),
         "q_url_blocklist": _url_blocklist_oracle(),
         "q_curate_quarantine": _curate_quarantine_oracle(),
+        "q_prepare_training_data": _prepare_training_oracle(),
+        "q_check_history": _check_history_oracle(),
         "q_mixture_rebalance": """
             WITH n AS (
               SELECT source, COUNT(*) AS n_rows
@@ -3624,6 +3807,290 @@ def _url_blocklist_oracle() -> str:
                CAST(SUM(CASE WHEN NOT blocked THEN doc_id ELSE 0 END)
                     AS BIGINT) AS sum_kept_ids
         FROM d2 GROUP BY source ORDER BY source
+    """
+
+
+def _prepare_training_oracle() -> str:
+    """Full SQL recomputation of plans.prepare.prepare_training_stages
+    over the planted doc_id<300 fixture, one CTE block per stage:
+    Gopher repetition keep (curate-oracle fragment), sequential PII
+    redaction, keep-first exact dedup on the normalized digest, exact
+    trigram-Jaccard pairs + recursive-CTE closure keep-one (minhash /
+    cluster oracle fragments — LSH recall 1.0 at J>=0.5 with 64/32 is
+    what makes the verified pair list equal the exact answer), portable
+    md5 tokenization, corpus-wide span dedup (span oracle fragment),
+    per-source prefix-sum packing at context 64, and portable hash
+    sharding — then the same eight accounting rows the Spark side
+    emits."""
+    from data_drift_monitoring_spark.operators.pii import PII_PATTERNS
+
+    k = _SPAN_K
+    v = _PORTABLE_VOCAB
+    rep_tail = " ".join(["junk"] * 60)
+    # _words convention (trim) for repetition + tokenize; the dedup
+    # shingle/digest convention has no trim — both proven in their
+    # operators' own oracles
+    wt = (
+        lambda c: f"string_split(regexp_replace(lower(trim({c})),"
+        f" '\\s+', ' ', 'g'), ' ')"
+    )
+    red = "t"
+    for n, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '[{n.upper()}]', 'g')"
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, source, text ||
+            CASE WHEN doc_id % 23 = 0 THEN ' {rep_tail}' ELSE '' END ||
+            CASE WHEN doc_id % 5 = 2
+                 THEN ' mail bob.smith@example.com now' ELSE '' END AS t
+          FROM documents WHERE doc_id < 300
+        ),
+        w AS (SELECT doc_id, source, t, {wt('t')} AS ws FROM base),
+        uw AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        tcn AS (
+          SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+            SELECT doc_id, word, COUNT(*) AS cnt FROM uw GROUP BY 1, 2
+          ) GROUP BY 1
+        ),
+        sig AS (
+          SELECT w.doc_id,
+            (CASE WHEN len(ws) > 0 THEN
+               1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+             ELSE 0.0 END <= 0.50)
+            AND (CASE WHEN len(ws) >= 2 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE)
+               / (len(ws) - 1)
+             ELSE 0.0 END <= 0.60)
+            AND (CASE WHEN len(ws) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+               ))) AS DOUBLE) / (len(ws) - 2)
+             ELSE 0.0 END <= 0.50)
+            AND (CASE WHEN len(ws) > 0 THEN
+               CAST(tcn.top_cnt AS DOUBLE) / len(ws)
+             ELSE 0.0 END <= 0.30) AS rep_keep
+          FROM w JOIN tcn ON w.doc_id = tcn.doc_id
+        ),
+        cur AS (
+          SELECT w.doc_id, w.source, {red} AS rt
+          FROM w JOIN sig USING (doc_id) WHERE rep_keep
+        ),
+        ed AS (
+          SELECT doc_id, source, rt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(rt), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+          FROM cur
+        ),
+        e3 AS (SELECT doc_id, source, rt FROM ed WHERE rn = 1),
+        dw AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(rt), '\\s+', ' ', 'g'), ' ') AS w2
+          FROM e3
+        ),
+        shg AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(list_slice(w2, i, i+2), ' ')
+                                for i in range(1, greatest(len(w2)-2, 1)+1)]) AS s
+          FROM dw
+        ),
+        eg AS (SELECT doc_id, unnest(s) AS g FROM shg),
+        sizes AS (SELECT doc_id, len(s) AS n FROM shg),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+          FROM eg x JOIN eg y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        p AS (
+          SELECT inter.a, inter.b
+          FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                     JOIN sizes sb ON sb.doc_id = inter.b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ),
+        edges AS (
+          SELECT a AS s, b AS t FROM p UNION SELECT b, a FROM p
+        ),
+        reach(k, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT ed2.s, reach.r FROM edges ed2 JOIN reach ON reach.k = ed2.t
+        ),
+        labels AS (SELECT k, MIN(r) AS cluster FROM reach GROUP BY k),
+        e4 AS (
+          SELECT * FROM e3
+          WHERE doc_id NOT IN (SELECT k FROM labels WHERE k <> cluster)
+        ),
+        seq AS (
+          SELECT doc_id, source, rt,
+                 list_transform({wt('rt')},
+                   w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT
+                             % {v} AS INT)) AS tokens
+          FROM e4
+        ),
+        occ AS (
+          SELECT s.doc_id, ti.i - 1 AS pos,
+                 md5(array_to_string(s.tokens[ti.i : ti.i + {k} - 1], ',')) AS gram
+          FROM seq s,
+               LATERAL unnest(generate_series(1, len(s.tokens) - {k} + 1)) AS ti(i)
+          WHERE len(s.tokens) >= {k}
+        ),
+        marked AS (
+          SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY gram) AS gram_count,
+                 ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+          FROM occ
+        ),
+        removed AS (
+          SELECT doc_id, pos FROM marked WHERE gram_count >= 2 AND rn > 1
+        ),
+        cov AS (
+          SELECT DISTINCT r.doc_id, u2.idx
+          FROM removed r,
+               LATERAL unnest(generate_series(r.pos, r.pos + {k} - 1)) AS u2(idx)
+        ),
+        pdc AS (
+          SELECT c.doc_id,
+                 COUNT(*) AS covered,
+                 SUM(s.tokens[c.idx + 1]) AS covered_sum
+          FROM cov c JOIN seq s USING (doc_id)
+          GROUP BY 1
+        ),
+        kept AS (
+          SELECT s.doc_id, s.source, s.rt,
+                 len(s.tokens) - COALESCE(p2.covered, 0) AS n_tok2,
+                 COALESCE(list_sum(s.tokens), 0)
+                   - COALESCE(p2.covered_sum, 0) AS tok_sum2,
+                 COALESCE(p2.covered, 0) AS covered
+          FROM seq s LEFT JOIN pdc p2 USING (doc_id)
+        ),
+        pc AS (
+          SELECT doc_id, source, rt, n_tok2, tok_sum2,
+                 SUM(CAST(n_tok2 AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS end_tok
+          FROM kept
+        ),
+        pk AS (
+          SELECT *, end_tok - n_tok2 AS start_tok,
+                 (end_tok - n_tok2) // 64 AS first_window,
+                 CASE WHEN n_tok2 > 0 THEN (end_tok - 1) // 64
+                      ELSE (end_tok - n_tok2) // 64 END AS last_window
+          FROM pc
+        ),
+        sh8 AS (
+          SELECT doc_id, rt,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 15))::BIGINT
+                      % 8 AS INT) AS shard,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 15))::BIGINT
+                   AS sort_key
+          FROM kept
+        )
+        SELECT '1_input' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(length(t)) AS BIGINT) AS text_len,
+               CAST(NULL AS BIGINT) AS n_tok_sum,
+               CAST(NULL AS BIGINT) AS tok_sum,
+               CAST(NULL AS BIGINT) AS aux1,
+               CAST(NULL AS BIGINT) AS aux2
+        FROM base
+        UNION ALL
+        SELECT '2_curate', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               NULL, NULL, NULL, NULL
+        FROM cur
+        UNION ALL
+        SELECT '3_exact_dedup', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               NULL, NULL, NULL, NULL
+        FROM e3
+        UNION ALL
+        SELECT '4_near_dedup', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               NULL, NULL, NULL, NULL
+        FROM e4
+        UNION ALL
+        SELECT '5_tokenize', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               CAST(SUM(len(tokens)) AS BIGINT),
+               CAST(SUM(COALESCE(list_sum(tokens), 0)) AS BIGINT),
+               NULL, NULL
+        FROM seq
+        UNION ALL
+        SELECT '6_span_dedup', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               CAST(SUM(n_tok2) AS BIGINT),
+               CAST(SUM(tok_sum2) AS BIGINT),
+               CAST(SUM(covered) AS BIGINT), NULL
+        FROM kept
+        UNION ALL
+        SELECT '7_pack', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               CAST(SUM(n_tok2) AS BIGINT),
+               CAST(SUM(tok_sum2) AS BIGINT),
+               CAST(SUM(start_tok) AS BIGINT),
+               CAST(SUM(last_window - first_window + 1) AS BIGINT)
+        FROM pk
+        UNION ALL
+        SELECT '8_shard', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+               CAST(SUM(length(rt)) AS BIGINT),
+               NULL, NULL,
+               CAST(SUM(CAST(shard AS BIGINT) * doc_id) AS BIGINT),
+               CAST(SUM(sort_key % 1000000) AS BIGINT)
+        FROM sh8
+        ORDER BY stage
+    """
+
+
+def _check_history_oracle() -> str:
+    """Mirror of q_check_history: the uniqueness-on-doc_id check value
+    (duplicate rows per partition, the _verdicts_oracle ua fragment)
+    for the clean and corrupted runs, then the trend_over_runs
+    lag/delta/direction window keyed on (part_id, column) ordered by
+    the injected run timestamps."""
+
+    def dup(tag: str, seq_sql: str) -> str:
+        return f"""
+        seq_{tag} AS ({seq_sql}),
+        u_{tag} AS (
+          SELECT part_id, doc_id, COUNT(*) AS c
+          FROM seq_{tag} WHERE doc_id IS NOT NULL GROUP BY 1, 2
+        ),
+        ua_{tag} AS (
+          SELECT part_id,
+                 CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   AS value
+          FROM u_{tag} GROUP BY 1
+        )"""
+
+    return f"""
+        WITH {dup('a', _SEQ_ORACLE)},
+        {dup('b', _SEQ_CORRUPTED_ORACLE)},
+        runs AS (
+          SELECT part_id, 'doc_id' AS "column",
+                 '2026-01-01T00:00:00+00:00' AS run_ts, value FROM ua_a
+          UNION ALL
+          SELECT part_id, 'doc_id',
+                 '2026-01-02T00:00:00+00:00', value FROM ua_b
+        ),
+        tr AS (
+          SELECT part_id, "column", run_ts, value,
+                 LAG(value) OVER (
+                   PARTITION BY part_id, "column" ORDER BY run_ts
+                 ) AS prev_value
+          FROM runs
+        )
+        SELECT part_id, "column", run_ts, value, prev_value,
+               ROUND(value - prev_value, 2) AS delta,
+               CASE WHEN prev_value IS NULL THEN 'baseline'
+                    WHEN ROUND(value - prev_value, 2) > 0 THEN 'improving'
+                    WHEN ROUND(value - prev_value, 2) < 0 THEN 'degrading'
+                    ELSE 'stable' END AS direction
+        FROM tr ORDER BY part_id, run_ts
     """
 
 

@@ -261,6 +261,7 @@ def tokenize_words(
     vocab: int = (1 << 31) - 1,
     tokens_col: str = "tokens",
     n_tok_col: str = "n_tok",
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic word-hash tokenization: lowercase, collapse
     whitespace, split on single spaces, hash each word to
@@ -268,11 +269,19 @@ def tokenize_words(
     a validation/layout pipeline uses when the real BPE tokenizer runs
     elsewhere — same construction as the gate's sequences view, exposed
     as a library operator so the end-to-end preparation CLI can feed
-    ``span_dedup``/``packing`` from raw text. Pure per-row projection."""
+    ``span_dedup``/``packing`` from raw text. Pure per-row projection.
+
+    ``portable=True`` swaps xxhash64 for the md5-prefix word hash
+    (``dedup.portable_word_hash``) that an external SQL engine can
+    reproduce bit-exactly — same convention as the other portable
+    operator paths (sharding, span_dedup, sampling)."""
     words = _words(text_col)
-    return df.withColumn(
-        tokens_col,
-        F.transform(
-            words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
-        ),
-    ).withColumn(n_tok_col, F.size(F.col(tokens_col)).cast("int"))
+    if portable:
+        from .dedup import portable_word_hash
+
+        tok = lambda w: F.pmod(portable_word_hash(w), F.lit(vocab)).cast("int")  # noqa: E731
+    else:
+        tok = lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")  # noqa: E731
+    return df.withColumn(tokens_col, F.transform(words, tok)).withColumn(
+        n_tok_col, F.size(F.col(tokens_col)).cast("int")
+    )

@@ -85,12 +85,10 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from data_drift_monitoring_spark.operators import dedup as D
-    from data_drift_monitoring_spark.operators import span_dedup as SD
-    from data_drift_monitoring_spark.operators.packing import pack_windows
-    from data_drift_monitoring_spark.operators.pii import redact_pii
-    from data_drift_monitoring_spark.operators.repetition import repetition_flags
-    from data_drift_monitoring_spark.operators.sharding import shard_layout
-    from data_drift_monitoring_spark.operators.text_analysis import tokenize_words
+    from data_drift_monitoring_spark.plans.prepare import (
+        PrepareConfig,
+        prepare_training_stages,
+    )
     from data_drift_monitoring_spark.session import get_spark
 
     spark = get_spark(app_name="prepare-training-data", master=args.master)
@@ -98,24 +96,12 @@ def main(argv: list[str] | None = None) -> int:
     df = spark.read.parquet(args.input)
     report: dict = {"input_rows": df.count()}
 
-    orig_cols = df.columns
-    if not args.no_curate:
-        df = (
-            repetition_flags(df, text_col=tc)
-            .filter(F.col("repetition_keep"))
-            .select(*orig_cols)
-        )
-        # out_col=tc replaces the text IN PLACE — the default would write
-        # a '<text>_redacted' column that select(*orig_cols) drops,
-        # silently shipping unredacted text into the shards
-        df = redact_pii(df, text_col=tc, out_col=tc).select(*orig_cols)
-        report["after_curate"] = df.count()
+    model = None
 
     if args.quality_weights or args.quality_seed_set:
         from data_drift_monitoring_spark.operators.quality_classifier import (
             fit_quality_classifier,
             model_from_dict,
-            score_quality,
         )
 
         if args.quality_weights:
@@ -127,53 +113,47 @@ def main(argv: list[str] | None = None) -> int:
                 args.quality_label_col,
                 text_col=tc,
             )
-        df = (
-            score_quality(
-                df, model, text_col=tc, threshold=args.quality_threshold
-            )
-            .filter("keep")
-            .select(*orig_cols)
-        )
-        report["after_quality_filter"] = df.count()
+
+    cfg = PrepareConfig(
+        text_col=tc,
+        key_col=args.key_col,
+        context_len=args.context_len,
+        n_shards=args.n_shards,
+        curate=not args.no_curate,
+        near_dedup=not args.no_near_dedup,
+        span_dedup=not args.no_span_dedup,
+        span_k=args.span_k,
+        minhash_threshold=args.minhash_threshold,
+        vocab=args.vocab,
+        seed=args.seed,
+        prefix_buckets=args.prefix_buckets,
+    )
+    stages = prepare_training_stages(
+        df, cfg, quality_model=model, quality_threshold=args.quality_threshold
+    )
+
+    if "curate" in stages:
+        report["after_curate"] = stages["curate"].count()
+    if "quality" in stages:
+        report["after_quality_filter"] = stages["quality"].count()
         report["quality_model"] = {
             "weights": model.weights,
             "bias": model.bias,
         }
-
-    df = D.dedup_exact_content(df, args.key_col, text_col=tc)
-    report["after_exact_dedup"] = df.count()
-
-    if not args.no_near_dedup:
-        pairs = D.minhash_verified_duplicates(
-            df, args.key_col, text_col=tc, threshold=args.minhash_threshold
-        )
-        df = D.dedup_by_clusters(df, pairs, args.key_col)
-        report["after_near_dedup"] = df.count()
-
-    df = tokenize_words(df, text_col=tc, vocab=args.vocab)
-
-    if not args.no_span_dedup:
-        df = SD.remove_duplicate_spans(
-            df, k=args.span_k, id_col=args.key_col
-        ).withColumn("n_tok", F.size("tokens").cast("int"))
-        report["span_tokens_removed"] = df.agg(
+    report["after_exact_dedup"] = stages["exact_dedup"].count()
+    if "near_dedup" in stages:
+        report["after_near_dedup"] = stages["near_dedup"].count()
+    if "span_dedup" in stages:
+        report["span_tokens_removed"] = stages["span_dedup"].agg(
             F.sum("covered_tokens").cast("bigint")
         ).collect()[0][0]
-        df = df.drop("covered_tokens")
 
-    packed = pack_windows(
-        df,
-        context_len=args.context_len,
-        order_col=args.key_col,
-        prefix_buckets=args.prefix_buckets,
-    )
+    packed = stages["pack"]
     report["total_tokens"] = packed.agg(
         F.sum("n_tok").cast("bigint")
     ).collect()[0][0]
 
-    out = shard_layout(
-        packed, args.n_shards, key_col=args.key_col, seed=args.seed
-    ).drop(tc)
+    out = stages["shard"].drop(tc)
     out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
 
     final = spark.read.parquet(args.output)

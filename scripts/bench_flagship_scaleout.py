@@ -1,0 +1,208 @@
+"""Executor scale-out emulation for the FLAGSHIP validation pipeline.
+
+Topology A: ONE pinned 2-core process validates the full sequences
+table. Topology B: TWO concurrent pinned 2-core processes on DISJOINT
+core sets, each validating half the table by part_id parity — the real
+2-executor topology for this workload: every verdict row (constraint,
+uniqueness, referential, drift, token-equality) and the partition score
+are keyed/grouped by part_id, so a partition-disjoint split makes the
+combined output the plain UNION of the halves, exactly as a cluster
+scheduler assigning input partitions to executors would produce.
+
+probe mode:    python scripts/bench_flagship_scaleout.py probe <cores> <half:-1|0|1>
+orchestrator:  python scripts/bench_flagship_scaleout.py run
+
+Correctness pin: each probe prints one md5 per part_id over its
+canonicalized verdict + score rows (floats at %.6g — the half and full
+runs aggregate identical row sets, but partial-agg order may differ in
+the last ulp). The orchestrator requires the union of the halves' maps
+to equal the full run's map with disjoint keys.
+
+Context (BENCH.md "Executor scale-out emulation", round 4): on this
+sandbox two processes interfere through the shared ~2 GB/s memory
+system even on disjoint cores, so per-executor-bandwidth efficiency
+(solo half-run wall vs full-run wall) is also reported — the number
+that transfers to a real cluster where executors own their bandwidth.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (reuse the flagship's exact data + session setup)
+
+
+def _canon_hash_per_part(df):
+    """md5 per part_id over sorted, %.6g-canonicalized rows."""
+    import hashlib
+    from collections import defaultdict
+
+    cols = sorted(df.columns)
+    rows = defaultdict(list)
+    pdf = df.toPandas()
+    for _, r in pdf.iterrows():
+        vals = []
+        for c in cols:
+            v = r[c]
+            if v is None or v != v:
+                vals.append("∅")
+            elif isinstance(v, float):
+                vals.append(f"{v:.6g}")
+            else:
+                vals.append(str(v))
+        rows[int(r["part_id"])].append("|".join(vals))
+    return {
+        p: hashlib.md5("\n".join(sorted(v)).encode()).hexdigest()
+        for p, v in rows.items()
+    }
+
+
+def probe(cores: int, half: int):
+    from pyspark.sql import functions as F
+
+    from data_drift_monitoring_spark.config import ALLOWED_SOURCES
+    from data_drift_monitoring_spark.plans.pipeline import (
+        build_verdicts,
+        score_partitions,
+    )
+
+    spark = bench._spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    ref_dir, cur_dir = bench._ensure_bench_data()
+    stats_p, dig_p = bench._ensure_ref_artifacts(spark, ref_dir)
+    bench._warm_page_cache(cur_dir, dig_p)
+    cur = spark.read.parquet(cur_dir)
+    if half >= 0:
+        cur = cur.filter(F.pmod("part_id", F.lit(2)) == half)
+    ref_stats = spark.read.parquet(stats_p)
+    ref_digests = spark.read.parquet(dig_p)
+    dim = spark.createDataFrame(
+        [(s,) for s in ALLOWED_SOURCES], "source string"
+    )
+    total_tokens = cur.agg(F.sum("n_tok")).collect()[0][0]
+
+    # steady-state: 2 reps, fastest (same protocol as bench.run_flagship —
+    # both topologies amortize the same JVM/codegen warm-up)
+    sec = float("inf")
+    verdicts = scores = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        verdicts = build_verdicts(
+            cur, ref_stats=ref_stats, allowed_sources=dim,
+            ref_digests=ref_digests,
+        ).persist()
+        bench._force(verdicts)
+        scores = score_partitions(verdicts)
+        bench._force(scores)
+        sec = min(sec, time.perf_counter() - t0)
+        if _ == 0:
+            hashes = _canon_hash_per_part(verdicts)
+            score_hashes = _canon_hash_per_part(scores)
+        verdicts.unpersist()
+    print(
+        json.dumps(
+            {
+                "half": half,
+                "cores": cores,
+                "wall": round(sec, 1),
+                "tokens": int(total_tokens),
+                "verdict_hashes": hashes,
+                "score_hashes": score_hashes,
+            }
+        )
+    )
+    spark.stop()
+
+
+def launch(half, cpu_list):
+    return subprocess.Popen(
+        ["taskset", "-c", cpu_list, sys.executable,
+         os.path.abspath(__file__), "probe", "2", str(half)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def last_json(*procs):
+    """Drain all subprocesses concurrently (sequential communicate()
+    deadlocks once a still-running twin fills its 64 KB pipe buffer)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(procs)) as ex:
+        outs = list(ex.map(lambda p: p.communicate(), procs))
+    results = []
+    for p, (stdout, stderr) in zip(procs, outs):
+        out = [ln for ln in stdout.splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not out:
+            tail = "\n".join(stderr.strip().splitlines()[-15:])
+            raise RuntimeError(
+                f"probe rc={p.returncode} produced no JSON; stderr:\n{tail}"
+            )
+        results.append(json.loads(out[-1]))
+    return results if len(results) > 1 else results[0]
+
+
+def _combine(maps):
+    comb = {}
+    for m in maps:
+        for k, v in m.items():
+            if k in comb:
+                raise RuntimeError(f"part {k} appears in both halves")
+            comb[k] = v
+    return comb
+
+
+def run():
+    import shutil
+
+    if shutil.which("taskset") is None:
+        sys.exit("taskset not found — this emulation needs pinned cores")
+    # Topology A: one 2-core executor, full table
+    a = last_json(launch(-1, "0-1"))
+    # Solo half-run: same probe as Topology B's half 0, but alone — the
+    # per-executor-bandwidth number (a real executor owns its memory bus)
+    solo0 = last_json(launch(0, "0-1"))
+    # Topology B: two 2-core executors, concurrent, disjoint cores
+    p0, p1 = launch(0, "0-1"), launch(1, "2-3")
+    r0, r1 = last_json(p0, p1)
+    comb_v = _combine([r0["verdict_hashes"], r1["verdict_hashes"]])
+    comb_s = _combine([r0["score_hashes"], r1["score_hashes"]])
+    agree = comb_v == a["verdict_hashes"] and comb_s == a["score_hashes"]
+    wall_b = max(r0["wall"], r1["wall"])
+    print(
+        json.dumps(
+            {
+                "metric": "executor_scaleout_flagship",
+                "rows": bench.BENCH_ROWS,
+                "tokens": a["tokens"],
+                "verdicts_and_scores_agree_with_full_run": agree,
+                "n_parts_full": len(a["verdict_hashes"]),
+                "probe_wall_1exec": a["wall"],
+                "probe_wall_2exec_max": wall_b,
+                "probe_wall_half_solo": solo0["wall"],
+                "tokens_per_sec_1exec": round(a["tokens"] / a["wall"], 1),
+                "tokens_per_sec_2exec": round(a["tokens"] / wall_b, 1),
+                "scaleout_efficiency_concurrent": round(
+                    a["wall"] / (2 * wall_b), 3
+                ),
+                "scaleout_efficiency_per_executor_bandwidth": round(
+                    a["wall"] / (2 * solo0["wall"]), 3
+                ),
+                "interference_factor_half_run": round(
+                    max(r0["wall"], r1["wall"]) / solo0["wall"], 2
+                ),
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "probe":
+        probe(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        run()
