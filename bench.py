@@ -215,7 +215,12 @@ def run_flagship(spark) -> dict:
     # fastest — one-time JVM codegen / Python-worker startup (~15 s,
     # data-size-independent) is amortized to zero in any long-running
     # monitoring deployment and would otherwise swamp the scaling signal
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # at gate scale (≤1M rows, ~7-20 s/rep) JIT warm-up spans more than
+    # 3 passes when the host starts loaded (measured trajectory
+    # 71→58→33→15→10→7.8→7.0 s); best-of-6 reaches the steady state the
+    # protocol is defined to measure. Large inputs keep 3 (rep ≫ warm-up).
+    default_reps = "6" if BENCH_ROWS <= 1_000_000 else "3"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", default_reps))
     sec = float("inf")
     loads = []
     for _ in range(reps):
@@ -384,10 +389,17 @@ def run_scaling() -> None:
         if pin:
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         best = None
-        for _ in range(2):
+        # subprocess launches per level (each internally best-of-REPS);
+        # large inputs (100M rows: ~15 min per 1-core subprocess) may
+        # need SPARK_GRAFT_SCALE_RUNS=1 to fit a session budget
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+        for _ in range(runs):
             _warm_page_cache(ref_dir, cur_dir)
             p = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, timeout=3600,
+                cmd, env=env, capture_output=True, text=True,
+                # 1 hour covers the 40M default; scale with input size
+                # (100M rows at 1 pinned core runs ~45 min/subprocess)
+                timeout=max(3600, BENCH_ROWS // 10_000),
             )
             lines = [
                 ln for ln in p.stdout.strip().splitlines()
