@@ -724,26 +724,37 @@ def test_dedup_release_cached(spark, dup_docs):
     accumulating in the SQL CacheManager forever."""
     from data_drift_monitoring_spark.operators import dedup as D
 
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # compare RDD-id SETS, not counts: unpersist() is async, so a prior
+    # test's pending release can shrink the global count between two
+    # snapshots and make a count-delta assert flake in full-suite runs
+    def rdd_ids():
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = rdd_ids()
     pairs = D.minhash_verified_duplicates(dup_docs, "doc_id", threshold=0.5)
     pairs.count()
     cached = getattr(pairs, "_cached_intermediates", ())
     assert len(cached) >= 1
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() > before
+    added = rdd_ids() - before
+    assert added
     D.release_cached(pairs)
     assert getattr(pairs, "_cached_intermediates", ()) == ()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+    assert not (rdd_ids() & added)
     # cluster formation localCheckpoints per star round: stale rounds
     # release inline, the final frames through release_cached — no RDD
     # may be left for driver GC to find (the old flake: unpersist() on
     # a checkpointed frame is a no-op, storage lived until gc)
-    before2 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    before2 = rdd_ids()
     pairs2 = D.minhash_verified_duplicates(dup_docs, "doc_id", threshold=0.5)
     kept = D.dedup_by_clusters(dup_docs, pairs2, "doc_id")
     kept.count()
     D.release_cached(kept)
     D.release_cached(pairs2)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before2
+    assert not (rdd_ids() - before2)
 
 
 def test_kmeans_default_sample_is_bounded(spark, embs):
