@@ -434,6 +434,7 @@ def run_scaling() -> None:
         "loadavg_1m_n": lo.get("loadavg_1m"),
         "loadavg_1m_4n": hi.get("loadavg_1m"),
         "pinned": pin,
+        "runs_per_level": runs,
     }
     _write_bench_md(summary)
     print(json.dumps(summary))
@@ -461,6 +462,17 @@ def _write_bench_md(summary: dict) -> None:
 
 def _bench_md(s: dict) -> str:
     n, n4 = s["n_cores"], s["4n_cores"]
+    runs = s.get("runs_per_level", 2)
+    runs_txt = (
+        f"best of {runs} process runs per level, each run reporting"
+        if runs != 1
+        else "one process run per level, reporting"
+    )
+    repro = f"python bench.py --scaling"
+    if s["rows"] != 40_000_000:
+        repro = f"SPARK_GRAFT_SCALE_ROWS={s['rows']} " + repro
+    if runs != 2:
+        repro = f"SPARK_GRAFT_SCALE_RUNS={runs} " + repro
     return f"""# BENCH — flagship throughput & scaling evidence
 
 Workload: full validation + drift pipeline (`plans/pipeline.build_verdicts`
@@ -479,7 +491,7 @@ sum(n_tok) of the scanned current table = {s['total_tokens']:,}.
 No real multi-executor cluster exists here; the N → 4N criterion is
 evidenced by the identical job on identical input at local[{n}] (N={n}
 cores) vs local[{n4}] (4N={n4} cores): fresh JVM per level, OS page cache
-pre-warmed identically, best of 2 process runs, each run reporting the
+pre-warmed identically, {runs_txt} the
 best of 3 in-session steady-state repetitions (cache cleared between reps
 so every rep re-does the full O(rows) work; only one-time JVM codegen /
 Python-worker startup — which any long-running deployment amortizes — is
@@ -513,7 +525,7 @@ build state is bounded by data volume x concurrency, not core count),
 uncompressed columnar cache, and `-XX:ParallelGCThreads=<cores>`
 (without which a local[1] JVM still garbage-collects on all 32 host
 cores, silently deflating the N-core baseline).
-Reproduce: `python bench.py --scaling`.
+Reproduce: `{repro}`.
 """
 
 
