@@ -9,8 +9,14 @@ are keyed/grouped by part_id, so a partition-disjoint split makes the
 combined output the plain UNION of the halves, exactly as a cluster
 scheduler assigning input partitions to executors would produce.
 
-probe mode:    python scripts/bench_flagship_scaleout.py probe <cores> <half:-1|0|1>
-orchestrator:  python scripts/bench_flagship_scaleout.py run
+Topology C (``run 4``) is the literal 1 → 4-executor shape of
+BASELINE.json's north rule: FOUR concurrent pinned 2-core processes on
+disjoint core sets, each validating a quarter of the table by
+``part_id % 4``.
+
+probe mode:    python scripts/bench_flagship_scaleout.py probe <cores> <nsplit> <idx>
+               (nsplit=1, idx=0 → full table; nsplit=4, idx=2 → quarter 2)
+orchestrator:  python scripts/bench_flagship_scaleout.py run [n_executors=2]
 
 Correctness pin: each probe prints one md5 per part_id over its
 canonicalized verdict + score rows (floats at %.6g — the half and full
@@ -61,7 +67,7 @@ def _canon_hash_per_part(df):
     }
 
 
-def probe(cores: int, half: int):
+def probe(cores: int, nsplit: int, idx: int):
     from pyspark.sql import functions as F
 
     from data_drift_monitoring_spark.config import ALLOWED_SOURCES
@@ -76,8 +82,8 @@ def probe(cores: int, half: int):
     stats_p, dig_p = bench._ensure_ref_artifacts(spark, ref_dir)
     bench._warm_page_cache(cur_dir, dig_p)
     cur = spark.read.parquet(cur_dir)
-    if half >= 0:
-        cur = cur.filter(F.pmod("part_id", F.lit(2)) == half)
+    if nsplit > 1:
+        cur = cur.filter(F.pmod("part_id", F.lit(nsplit)) == idx)
     ref_stats = spark.read.parquet(stats_p)
     ref_digests = spark.read.parquet(dig_p)
     dim = spark.createDataFrame(
@@ -107,7 +113,8 @@ def probe(cores: int, half: int):
     print(
         json.dumps(
             {
-                "half": half,
+                "nsplit": nsplit,
+                "idx": idx,
                 "cores": cores,
                 "wall": round(sec, 1),
                 "tokens": int(total_tokens),
@@ -119,10 +126,10 @@ def probe(cores: int, half: int):
     spark.stop()
 
 
-def launch(half, cpu_list):
+def launch(nsplit, idx, cpu_list):
     return subprocess.Popen(
         ["taskset", "-c", cpu_list, sys.executable,
-         os.path.abspath(__file__), "probe", "2", str(half)],
+         os.path.abspath(__file__), "probe", "2", str(nsplit), str(idx)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
 
@@ -151,49 +158,55 @@ def _combine(maps):
     for m in maps:
         for k, v in m.items():
             if k in comb:
-                raise RuntimeError(f"part {k} appears in both halves")
+                raise RuntimeError(f"part {k} appears in two fractions")
             comb[k] = v
     return comb
 
 
-def run():
+def run(n_execs: int = 2):
     import shutil
 
     if shutil.which("taskset") is None:
         sys.exit("taskset not found — this emulation needs pinned cores")
     # Topology A: one 2-core executor, full table
-    a = last_json(launch(-1, "0-1"))
-    # Solo half-run: same probe as Topology B's half 0, but alone — the
-    # per-executor-bandwidth number (a real executor owns its memory bus)
-    solo0 = last_json(launch(0, "0-1"))
-    # Topology B: two 2-core executors, concurrent, disjoint cores
-    p0, p1 = launch(0, "0-1"), launch(1, "2-3")
-    r0, r1 = last_json(p0, p1)
-    comb_v = _combine([r0["verdict_hashes"], r1["verdict_hashes"]])
-    comb_s = _combine([r0["score_hashes"], r1["score_hashes"]])
+    a = last_json(launch(1, 0, "0-1"))
+    # Solo fraction-run: same probe as the concurrent topology's
+    # fraction 0, but alone — the per-executor-bandwidth number (a real
+    # executor owns its memory bus)
+    solo0 = last_json(launch(n_execs, 0, "0-1"))
+    # Topology B/C: n_execs 2-core executors, concurrent, disjoint cores
+    procs = [
+        launch(n_execs, i, f"{2 * i}-{2 * i + 1}") for i in range(n_execs)
+    ]
+    rs = last_json(*procs)
+    if n_execs == 1:
+        rs = [rs]
+    comb_v = _combine([r["verdict_hashes"] for r in rs])
+    comb_s = _combine([r["score_hashes"] for r in rs])
     agree = comb_v == a["verdict_hashes"] and comb_s == a["score_hashes"]
-    wall_b = max(r0["wall"], r1["wall"])
+    wall_b = max(r["wall"] for r in rs)
     print(
         json.dumps(
             {
-                "metric": "executor_scaleout_flagship",
+                "metric": f"executor_scaleout_flagship_1_to_{n_execs}",
                 "rows": bench.BENCH_ROWS,
                 "tokens": a["tokens"],
+                "n_executors": n_execs,
                 "verdicts_and_scores_agree_with_full_run": agree,
                 "n_parts_full": len(a["verdict_hashes"]),
                 "probe_wall_1exec": a["wall"],
-                "probe_wall_2exec_max": wall_b,
-                "probe_wall_half_solo": solo0["wall"],
+                "probe_wall_nexec_max": wall_b,
+                "probe_wall_fraction_solo": solo0["wall"],
                 "tokens_per_sec_1exec": round(a["tokens"] / a["wall"], 1),
-                "tokens_per_sec_2exec": round(a["tokens"] / wall_b, 1),
+                "tokens_per_sec_nexec": round(a["tokens"] / wall_b, 1),
                 "scaleout_efficiency_concurrent": round(
-                    a["wall"] / (2 * wall_b), 3
+                    a["wall"] / (n_execs * wall_b), 3
                 ),
                 "scaleout_efficiency_per_executor_bandwidth": round(
-                    a["wall"] / (2 * solo0["wall"]), 3
+                    a["wall"] / (n_execs * solo0["wall"]), 3
                 ),
-                "interference_factor_half_run": round(
-                    max(r0["wall"], r1["wall"]) / solo0["wall"], 2
+                "interference_factor_fraction_run": round(
+                    wall_b / solo0["wall"], 2
                 ),
                 "loadavg_1m": round(os.getloadavg()[0], 2),
             }
@@ -203,6 +216,6 @@ def run():
 
 if __name__ == "__main__":
     if sys.argv[1] == "probe":
-        probe(int(sys.argv[2]), int(sys.argv[3]))
+        probe(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
     else:
-        run()
+        run(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
