@@ -221,32 +221,56 @@ def run_flagship(spark) -> dict:
     # protocol is defined to measure. Large inputs keep 3 (rep ≫ warm-up).
     default_reps = "6" if BENCH_ROWS <= 1_000_000 else "3"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", default_reps))
-    sec = float("inf")
-    loads = []
-    for _ in range(reps):
-        loads.append(round(os.getloadavg()[0], 2))
+
+    def one_pass(frame) -> float:
         # drop all cached data (incl. the pipeline's internal `prepared`
-        # projection) so every rep re-does the full O(rows) work — only
+        # projection) so every pass re-does the full O(rows) work — only
         # JVM/codegen/worker warm-up is amortized, never the computation
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         verdicts = build_verdicts(
-            cur, ref_stats=ref_stats, allowed_sources=dim,
+            frame, ref_stats=ref_stats, allowed_sources=dim,
             ref_digests=ref_digests,
         ).persist()
         _force(verdicts)
         _force(score_partitions(verdicts))
-        sec = min(sec, time.perf_counter() - t0)
         verdicts.unpersist()
+        return time.perf_counter() - t0
+
+    # JMH-style explicit warm-up: run the IDENTICAL pipeline on a
+    # file-pruned slice (2 of the 32 part_id files, ~1/16 of the rows —
+    # same plan shape, parquet row-group stats prune the rest) until its
+    # wall time stops improving. JIT-compiling every codegen / exchange /
+    # Arrow path at slice cost means the timed full-input reps start at
+    # steady state. Without this the JIT tail sometimes outlasts the rep
+    # budget: two fresh quiet-host best-of-6 sessions measured 18.5 s vs
+    # 9.9 s on identical input (steady floor 7.0 s) purely by where the
+    # warm-up slope happened to end.
+    warm = cur.where(F.col("part_id") < max(2, BENCH_PARTS // 16))
+    prev = float("inf")
+    for _ in range(8):
+        w = one_pass(warm)
+        if w > prev * 0.9:  # <10% improvement -> warm
+            break
+        prev = w
+
+    secs = []
+    loads = []
+    for _ in range(reps):
+        loads.append(round(os.getloadavg()[0], 2))
+        secs.append(round(one_pass(cur), 3))
+    sec = min(secs)
     return {
         "sec": round(sec, 3),
         "total_tokens": int(total_tokens),
         "rows": BENCH_ROWS,
         "tokens_per_sec": round(total_tokens / sec, 1),
-        # bench hygiene: host load at each rep start makes every number
-        # self-adjudicating (a loaded-host artifact reads as load > ~2
-        # here, not as a design regression)
+        # bench hygiene: host load at each rep start + the per-rep wall
+        # trajectory make every number self-adjudicating (a loaded-host
+        # artifact reads as load > ~2 here; a still-descending trajectory
+        # reads as residual warm-up, not a design regression)
         "reps": reps,
+        "secs": secs,
         "loadavg_1m": loads,
     }
 
