@@ -300,6 +300,11 @@ def main() -> None:
         run_scaling()
         return
 
+    # sampled BEFORE any Spark work: the externally-meaningful host-load
+    # signal. Per-query loadavg during the run is dominated by the bench
+    # itself (local[32] saturating the host reads as loadavg ~20-30 —
+    # self-induced, not contamination; see BENCH.md round-4 adjudication).
+    load_at_start = round(os.getloadavg()[0], 2)
     spark = _spark(CPUS)
     try:
         if "--flagship-only" in sys.argv:
@@ -329,6 +334,8 @@ def main() -> None:
                     "headline_reps": int(
                         os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")
                     ),
+                    "loadavg_1m_at_start": load_at_start,
+                    "flagship_rep_secs": flagship["secs"],
                     "loadavg_1m_per_query": loads,
                 }
             )
@@ -347,7 +354,8 @@ def main() -> None:
                     "tokens_per_sec": flagship["tokens_per_sec"],
                     "flagship_sec": flagship["sec"],
                     "n_queries": len(queries),
-                    "max_loadavg_1m": max(loads.values()),
+                    "loadavg_1m_at_start": load_at_start,
+                    "max_loadavg_1m_during": max(loads.values()),
                     "cpus": CPUS,
                     "full_table": "previous stdout line",
                 }
