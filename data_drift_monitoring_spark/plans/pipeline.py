@@ -119,6 +119,7 @@ def build_verdicts(
     ref_sequences: DataFrame | None = None,
     config: EngineConfig = DEFAULT_CONFIG,
     ref_digests: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Assemble all per-partition verdict rows (no writes, lazy).
 
@@ -137,11 +138,17 @@ def build_verdicts(
     # materialize the projection BEFORE assembling the fan-out: the verdict
     # union is one job whose first-level stages would otherwise start
     # concurrently and each recompute the heavy token-array scan while the
-    # cache is still cold (a cache-fill race duplicating the dominant cost)
-    prepared.count()
+    # cache is still cold (a cache-fill race duplicating the dominant cost).
+    # materialize=False defers this to the caller (benchmark probes that
+    # time plan construction and execution separately must re-persist and
+    # count these intermediates — in _cached order — inside the timed
+    # region after any clearCache).
+    if materialize:
+        prepared.count()
     seq = sequence_stats_prepared(prepared, config.partition_col).cache()
     _cached.append(seq)
-    seq.count()
+    if materialize:
+        seq.count()
 
     pieces: list[DataFrame] = []
 

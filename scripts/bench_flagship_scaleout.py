@@ -145,12 +145,17 @@ def probe(cores: int, nsplit: int, idx: int):
     # per job on its own machine; in this emulation it would otherwise
     # be charged to the pinned "executor" cores N times over (~10 s per
     # probe — measured). Reported separately as plan_build_sec.
+    # materialize=False so NO executor work (the heavy token scan) runs
+    # here; each timed rep re-persists and counts the tracked
+    # intermediates itself, in build order, preserving build_verdicts'
+    # cache-fill-race guard after clearCache.
     tp = time.perf_counter()
     verdicts = build_verdicts(
         cur, ref_stats=ref_stats, allowed_sources=dim,
-        ref_digests=ref_digests,
+        ref_digests=ref_digests, materialize=False,
     )
     scores = score_partitions(verdicts)
+    inter = list(getattr(verdicts, "_cached_intermediates", ()))
     plan_build = time.perf_counter() - tp
 
     # steady-state: 2 reps, fastest (same protocol as bench.run_flagship —
@@ -159,6 +164,13 @@ def probe(cores: int, nsplit: int, idx: int):
     for _ in range(2):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
+        for c in inter:
+            c.persist()
+        # race guard: materialize prepared + seq (inter[0], inter[1])
+        # before the verdict union fans out, exactly as build_verdicts
+        # does with materialize=True
+        inter[0].count()
+        inter[1].count()
         verdicts.persist()
         bench._force(verdicts)
         bench._force(scores)
