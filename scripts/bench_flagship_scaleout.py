@@ -233,13 +233,12 @@ def _combine(maps):
     return comb
 
 
-def run(n_execs: int = 2):
-    import shutil
-
-    if shutil.which("taskset") is None:
-        sys.exit("taskset not found — this emulation needs pinned cores")
-    # Topology A: one 2-core executor, full table
-    a = last_json(launch(1, 0, "0-1"))
+def _one_topology(a, n_execs: int):
+    """Solo fraction + n_execs-concurrent topology, judged against the
+    shared full run ``a`` (topology A runs once per invocation even when
+    several executor counts are measured — at 100M rows it costs ~18 min
+    per rep pair, and the 1→N ratios must share one denominator
+    anyway)."""
     # Solo fraction-run: same probe as the concurrent topology's
     # fraction 0, but alone — the per-executor-bandwidth number (a real
     # executor owns its memory bus)
@@ -255,38 +254,45 @@ def run(n_execs: int = 2):
     comb_s = _combine([r["score_hashes"] for r in rs])
     agree = comb_v == a["verdict_hashes"] and comb_s == a["score_hashes"]
     wall_b = max(r["wall"] for r in rs)
-    print(
-        json.dumps(
-            {
-                "metric": f"executor_scaleout_flagship_1_to_{n_execs}",
-                "rows": bench.BENCH_ROWS,
-                "tokens": a["tokens"],
-                "n_executors": n_execs,
-                "verdicts_and_scores_agree_with_full_run": agree,
-                "n_parts_full": len(a["verdict_hashes"]),
-                "probe_wall_1exec": a["wall"],
-                "probe_wall_nexec_max": wall_b,
-                "probe_wall_fraction_solo": solo0["wall"],
-                "plan_build_sec_driver_once_per_job": a["plan_build_sec"],
-                "tokens_per_sec_1exec": round(a["tokens"] / a["wall"], 1),
-                "tokens_per_sec_nexec": round(a["tokens"] / wall_b, 1),
-                "scaleout_efficiency_concurrent": round(
-                    a["wall"] / (n_execs * wall_b), 3
-                ),
-                "scaleout_efficiency_per_executor_bandwidth": round(
-                    a["wall"] / (n_execs * solo0["wall"]), 3
-                ),
-                "interference_factor_fraction_run": round(
-                    wall_b / solo0["wall"], 2
-                ),
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-            }
-        )
-    )
+    return {
+        "metric": f"executor_scaleout_flagship_1_to_{n_execs}",
+        "rows": bench.BENCH_ROWS,
+        "tokens": a["tokens"],
+        "n_executors": n_execs,
+        "verdicts_and_scores_agree_with_full_run": agree,
+        "n_parts_full": len(a["verdict_hashes"]),
+        "probe_wall_1exec": a["wall"],
+        "probe_wall_nexec_max": wall_b,
+        "probe_wall_fraction_solo": solo0["wall"],
+        "plan_build_sec_driver_once_per_job": a["plan_build_sec"],
+        "tokens_per_sec_1exec": round(a["tokens"] / a["wall"], 1),
+        "tokens_per_sec_nexec": round(a["tokens"] / wall_b, 1),
+        "scaleout_efficiency_concurrent": round(
+            a["wall"] / (n_execs * wall_b), 3
+        ),
+        "scaleout_efficiency_per_executor_bandwidth": round(
+            a["wall"] / (n_execs * solo0["wall"]), 3
+        ),
+        "interference_factor_fraction_run": round(
+            wall_b / solo0["wall"], 2
+        ),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
+def run(execs: str = "2"):
+    import shutil
+
+    if shutil.which("taskset") is None:
+        sys.exit("taskset not found — this emulation needs pinned cores")
+    # Topology A: one 2-core executor, full table (shared across counts)
+    a = last_json(launch(1, 0, "0-1"))
+    for n_execs in [int(x) for x in execs.split(",")]:
+        print(json.dumps(_one_topology(a, n_execs)), flush=True)
 
 
 if __name__ == "__main__":
     if sys.argv[1] == "probe":
         probe(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
     else:
-        run(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+        run(sys.argv[2] if len(sys.argv) > 2 else "2")
