@@ -83,6 +83,24 @@ def _canon_hash_per_part(df):
     }
 
 
+def _bw_sample(arr=[]):
+    """One-shot single-core memory-bandwidth sample (GB/s), ~0.2 s.
+
+    This VM's effective memory bandwidth fluctuates up to 6x on an
+    otherwise-idle host (measured 1.7-11.6 GB/s across 30 s — external
+    hypervisor/co-tenant pressure; see BENCH.md). Each probe records a
+    sample before every rep so a result self-adjudicates: reps taken in
+    different host phases are visible in the output instead of silently
+    skewing a between-topology ratio."""
+    import numpy as np
+
+    if not arr:
+        arr.append(np.ones(100_000_000))  # 800 MB, streaming read
+    t0 = time.perf_counter()
+    float(arr[0].sum())
+    return round(0.8 / (time.perf_counter() - t0), 2)
+
+
 def probe(cores: int, nsplit: int, idx: int):
     from pyspark.sql import functions as F
 
@@ -158,11 +176,18 @@ def probe(cores: int, nsplit: int, idx: int):
     inter = list(getattr(verdicts, "_cached_intermediates", ()))
     plan_build = time.perf_counter() - tp
 
-    # steady-state: 2 reps, fastest (same protocol as bench.run_flagship —
-    # both topologies amortize the same JVM/codegen warm-up)
+    # steady-state: REPS reps, fastest (same protocol as
+    # bench.run_flagship — both topologies amortize the same JVM/codegen
+    # warm-up). Default 3: with the host's phase-varying memory
+    # bandwidth (see _bw_sample), 2 reps can land both inside one slow
+    # phase; min-of-3 with per-rep bandwidth annotation lets the
+    # orchestrator and the reader see which phase each wall came from.
+    reps = int(os.environ.get("SPARK_GRAFT_SCALEOUT_REPS", "3"))
     sec = float("inf")
-    for _ in range(2):
+    rep_walls, rep_bw = [], []
+    for _ in range(reps):
         spark.catalog.clearCache()
+        rep_bw.append(_bw_sample())
         t0 = time.perf_counter()
         for c in inter:
             c.persist()
@@ -174,7 +199,9 @@ def probe(cores: int, nsplit: int, idx: int):
         verdicts.persist()
         bench._force(verdicts)
         bench._force(scores)
-        sec = min(sec, time.perf_counter() - t0)
+        w = time.perf_counter() - t0
+        rep_walls.append(round(w, 1))
+        sec = min(sec, w)
         if _ == 0:
             hashes = _canon_hash_per_part(verdicts)
             score_hashes = _canon_hash_per_part(scores)
@@ -186,6 +213,8 @@ def probe(cores: int, nsplit: int, idx: int):
                 "idx": idx,
                 "cores": cores,
                 "wall": round(sec, 1),
+                "rep_walls": rep_walls,
+                "bw_gbps_per_rep": rep_bw,
                 "plan_build_sec": round(plan_build, 1),
                 "tokens": int(total_tokens),
                 "verdict_hashes": hashes,
@@ -277,6 +306,16 @@ def _one_topology(a, n_execs: int):
             wall_b / solo0["wall"], 2
         ),
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        # per-rep walls + the memory-bandwidth sample taken just before
+        # each rep (GB/s): the host's bandwidth fluctuates up to 6x from
+        # external pressure, so these let a reader check that the walls
+        # being ratioed came from comparable host phases
+        "rep_walls_1exec": a["rep_walls"],
+        "bw_gbps_1exec": a["bw_gbps_per_rep"],
+        "rep_walls_solo": solo0["rep_walls"],
+        "bw_gbps_solo": solo0["bw_gbps_per_rep"],
+        "rep_walls_nexec": [r["rep_walls"] for r in rs],
+        "bw_gbps_nexec": [r["bw_gbps_per_rep"] for r in rs],
     }
 
 
