@@ -256,8 +256,10 @@ def run_flagship(spark) -> dict:
 
     secs = []
     loads = []
+    bws = []
     for _ in range(reps):
         loads.append(round(os.getloadavg()[0], 2))
+        bws.append(_bw_sample())
         secs.append(round(one_pass(cur), 3))
     sec = min(secs)
     return {
@@ -265,13 +267,17 @@ def run_flagship(spark) -> dict:
         "total_tokens": int(total_tokens),
         "rows": BENCH_ROWS,
         "tokens_per_sec": round(total_tokens / sec, 1),
-        # bench hygiene: host load at each rep start + the per-rep wall
-        # trajectory make every number self-adjudicating (a loaded-host
-        # artifact reads as load > ~2 here; a still-descending trajectory
-        # reads as residual warm-up, not a design regression)
+        # bench hygiene: host load + a memory-bandwidth sample at each
+        # rep start + the per-rep wall trajectory make every number
+        # self-adjudicating (a loaded-host artifact reads as load > ~2;
+        # bw well under ~10 GB/s marks an external-pressure phase — this
+        # VM's idle single-core bandwidth swings 1.7-11.6 GB/s, measured;
+        # a still-descending trajectory reads as residual warm-up, not a
+        # design regression)
         "reps": reps,
         "secs": secs,
         "loadavg_1m": loads,
+        "bw_gbps": bws,
     }
 
 
@@ -363,6 +369,23 @@ def main() -> None:
         )
     finally:
         spark.stop()
+
+
+def _bw_sample(_arr=[]):
+    """One-shot single-core memory-bandwidth sample (GB/s), ~0.2 s.
+
+    This VM's effective memory bandwidth fluctuates up to 6x on an
+    otherwise-idle host (measured 1.7-11.6 GB/s across 30 s — external
+    hypervisor/co-tenant pressure; BENCH.md "Round 5 capstone"). A
+    sample before each rep lets a reader see which host phase a wall
+    came from instead of mistaking a slow phase for a regression."""
+    import numpy as np
+
+    if not _arr:
+        _arr.append(np.ones(100_000_000))  # 800 MB, streaming read
+    t0 = time.perf_counter()
+    float(_arr[0].sum())
+    return round(0.8 / (time.perf_counter() - t0), 2)
 
 
 def _warm_page_cache(*dirs: str) -> None:
@@ -465,6 +488,8 @@ def run_scaling() -> None:
         "sec_4n": hi["sec"],
         "loadavg_1m_n": lo.get("loadavg_1m"),
         "loadavg_1m_4n": hi.get("loadavg_1m"),
+        "bw_gbps_n": lo.get("bw_gbps"),
+        "bw_gbps_4n": hi.get("bw_gbps"),
         "pinned": pin,
         "runs_per_level": runs,
     }
